@@ -1,24 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main. Headline metric: KG-construction
+  * throughput in turns/sec (mention detect -> match ladder ->
+  * canonicalize -> triples, counted end-to-end) on the deterministic
+  * synthetic transcript corpus sized by the sf dir; plus per-query
+  * wall seconds for every SparkEntry query at that sf. Prints ONE
+  * JSON line (driver contract).
+  */
 object Bench {
+
+  def benchCorpusConvs(sfDir: String): Long = {
+    val sf = sfDir.split("sf").lastOption.flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(0.01)
+    math.max(200L, (sf * 400000).toLong) // sf0.1 -> 40k convs (~450k turns with hot skew)
+  }
+
+  /** One full pipeline pass; returns (turns, seconds, triples). */
+  def runPipeline(spark: SparkSession, nConvs: Long): (Long, Double, Long) = {
+    val dict = graft.fixtures.Fixtures.dict(spark)
+    val turns = graft.fixtures.Fixtures.transcripts(spark, nConvs, 8)
+    val nTurns = turns.count() // materialization cost excluded from throughput timing below
+    val t0 = System.nanoTime()
+    val res = Pipeline.run(spark, turns, dict)
+    val nTriples = res.triples.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (nTurns, sec, nTriples)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-bench")
+
+    // headline: KG throughput (warm-up run then measured run)
+    val nConvs = benchCorpusConvs(sfDir)
+    runPipeline(spark, math.max(50L, nConvs / 10)) // warm-up: JIT + codegen
+    val (nTurns, pipeSec, nTriples) = runPipeline(spark, nConvs)
+    val turnsPerSec = nTurns / pipeSec
+
+    // per-query timings on the driver testdata
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"kg_turns_per_sec","value":${f"$turnsPerSec%.1f"},"unit":"turns/sec",""" +
+      s""""pipeline_turns":$nTurns,"pipeline_sec":${f"$pipeSec%.3f"},"pipeline_triples":$nTriples,""" +
+      s""""queries_total_sec":${f"$total%.3f"},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CosineSimilarity, DocFingerprint, HashEmbed, MinHashSig, SimHash64}
+
+/** Column-level API + SQL registration for graft's native
+  * Catalyst expressions. Everything here is deterministic and
+  * codegen-friendly; prefer these over Scala UDFs (SURVEY.md §2.10).
+  */
+object Functions {
+
+  /** Cosine similarity of two array<float> columns; nulls -> 0.0
+    * (reference semantic_retrievers.py:37-42). Native codegen path. */
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+
+  /** Pure-builtin cosine via zip_with + aggregate — the
+    * cross-validation twin of [[cosine_sim]] (same semantics,
+    * allocates an intermediate array; kept for tests + as the
+    * form usable from plain SQL strings). */
+  def cosine_sim_sql(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v * v)
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v * v)
+    when(a.isNull || b.isNull, lit(0.0))
+      .otherwise(when(na === 0.0 || nb === 0.0, lit(0.0))
+        .otherwise(dot / (sqrt(na) * sqrt(nb))))
+  }
+
+  /** MinHash signature (array<bigint>) of word-3-gram shingles. */
+  def minhash_sig(text: Column, numHashes: Int = 64): Column =
+    column(MinHashSig(expression(text), numHashes))
+
+  /** 64-bit SimHash of the token stream. */
+  def simhash64(text: Column): Column = column(SimHash64(expression(text)))
+
+  /** Deterministic feature-hashing embedding (array<float>). */
+  def hash_embed(text: Column, dim: Int = graft.functions.Vectorizer.DefaultDim): Column =
+    column(HashEmbed(expression(text), dim))
+
+  /** Order-sensitive rolling-hash document fingerprint. */
+  def doc_fingerprint(text: Column): Column = column(DocFingerprint(expression(text)))
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Normalized surface form: lower + trim + collapse whitespace —
+    * the join key used throughout the match ladder (mirrors
+    * reference exact_match.py:76,80 normalization). */
+  def norm_text(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Register the expressions for SQL use. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "internal")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "internal")
+    reg.createOrReplaceTempFunction("doc_fingerprint",
+      exprs => DocFingerprint(exprs.head), "internal")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSig(exprs.head, 64), "internal")
+    reg.createOrReplaceTempFunction("hash_embed",
+      exprs => HashEmbed(exprs.head, graft.functions.Vectorizer.DefaultDim), "internal")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.functions
+
+/** Deterministic hashing primitives shared by the vectorizer, MinHash,
+  * SimHash and the document fingerprinter. All pure, seed-fixed, no
+  * wall-clock — results are identical across JVMs, partitionings and
+  * parallelism levels (required for the engine's determinism
+  * invariants, SURVEY.md §7.4).
+  */
+object Hashing {
+
+  /** FNV-1a 64-bit over UTF-8 bytes. Public-domain algorithm. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit finalizer (splitmix64) — decorrelates fnv output bits. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def hash64(s: String): Long = mix64(fnv1a64(s))
+
+  /** Word tokenizer: lowercase, split on non-letter/digit runs. */
+  def tokenize(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+
+  /** Normalized surface form used for all dictionary keys:
+    * lowercase, trim, collapse inner whitespace. Mirrors the
+    * reference's toLower + strip normalization
+    * (reference exact_match.py:76,80). */
+  def norm(s: String): String =
+    if (s == null) "" else s.trim.toLowerCase.replaceAll("\\s+", " ")
+
+  /** Character k-gram shingles of the normalized text. */
+  def charShingles(text: String, k: Int): Array[String] = {
+    val t = norm(text)
+    if (t.length < k) { if (t.isEmpty) Array.empty else Array(t) }
+    else Array.tabulate(t.length - k + 1)(i => t.substring(i, i + k))
+  }
+
+  /** Word n-gram shingles. */
+  def wordShingles(text: String, n: Int): Array[String] = {
+    val toks = tokenize(text)
+    if (toks.length < n) { if (toks.isEmpty) Array.empty else Array(toks.mkString(" ")) }
+    else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
+  }
+
+  /** MinHash signature of a shingle set: numHashes independent
+    * permutations h_i(x) = mix64(x ^ seed_i), signature_i = min.
+    * Empty set => all Long.MaxValue. */
+  def minHash(shingles: Iterator[String], numHashes: Int): Array[Long] = {
+    val seeds = minHashSeeds(numHashes)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    while (shingles.hasNext) {
+      val base = hash64(shingles.next())
+      var i = 0
+      while (i < numHashes) {
+        val h = mix64(base ^ seeds(i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  private def minHashSeeds(n: Int): Array[Long] = {
+    // deterministic seed stream via splitmix64 from a fixed root
+    val out = new Array[Long](n)
+    var s = 0x5eed5eed5eed5eedL
+    var i = 0
+    while (i < n) { s = mix64(s); out(i) = s; i += 1 }
+    out
+  }
+
+  /** 64-bit SimHash over the token multiset. */
+  def simHash64(tokens: Iterator[String]): Long = {
+    val acc = new Array[Int](64)
+    while (tokens.hasNext) {
+      val h = hash64(tokens.next())
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Polynomial rolling-hash fingerprint of the raw text (document
+    * identity fingerprint; order-sensitive unlike SimHash). */
+  def rollingFingerprint(text: String): Long = {
+    var h = 1125899906842597L // prime
+    var i = 0
+    val n = if (text == null) 0 else text.length
+    while (i < n) { h = 31 * h + text.charAt(i); i += 1 }
+    h
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Functions
+import graft.link.BroadcastKnn
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two strategies:
+  *  - [[bruteForceTopK]]: exact top-k; corpus broadcast, per-row heap
+  *    scan inside flatMap (no shuffle, no materialized cross join).
+  *    The baseline and the right call whenever the CORPUS side fits
+  *    in a broadcast (dictionaries, centroid tables).
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing; only vectors
+  *    sharing a bucket are compared. The scale path when both sides
+  *    are large: the cross product is replaced by a bucket-keyed
+  *    shuffle join. Recall < 1 by construction; `tables` independent
+  *    hash tables trade compute for recall.
+  */
+object Ann {
+
+  /** Exact cosine top-k of `queries` against broadcast `corpus`.
+    * Inputs: (id, vec) DataFrames. Output: (query_id, rank, id, cos).
+    * Cosine is computed in full double precision per pair (no float
+    * pre-normalization) so scores are bit-stable and oracle-exact. */
+  def bruteForceTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+                     k: Int, excludeSelf: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val corpusArr: Array[(String, Array[Float])] = corpus
+      .select(col("id").cast("string"), col("vec"))
+      .as[(String, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpusArr)
+    val kk = k
+    val ex = excludeSelf
+    queries.select(col("id").cast("string"), col("vec"))
+      .as[(String, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        val scored = bc.value.iterator
+          .filter { case (cid, _) => !ex || cid != qid }
+          .map { case (cid, cv) =>
+            (cid, graft.functions.VectorMath.cosine(qv, cv))
+          }
+        val top = scored.toArray.sortBy { case (c, s) => (-s, c) }.take(kk)
+        top.zipWithIndex.map { case ((cid, s), r) => (qid, r + 1, cid, s) }
+      }
+      .toDF("query_id", "rank", "id", "cos")
+  }
+
+  /** LSH-bucketed ANN: sign-bit signatures from `nBits` deterministic
+    * random hyperplanes per table; exact cosine within buckets, then
+    * global top-k per query across tables. Signatures are computed in
+    * a typed map over broadcast hyperplanes — an expression-tree
+    * formulation (tables x bits x dim nested columns) explodes
+    * codegen and planned 200x slower. */
+  def lshTopK(spark: SparkSession, vecs: DataFrame, k: Int,
+              nBits: Int = 12, tables: Int = 4, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val bcPlanes = spark.sparkContext.broadcast(hyperplanes(tables, nBits, dim))
+    val nb = nBits; val nt = tables
+    val withSigs = vecs.select(col("id").cast("string"), col("vec"))
+      .as[(String, Array[Float])]
+      .map { case (id, v) =>
+        val planes = bcPlanes.value
+        val sigs = Array.tabulate(nt) { t =>
+          var sig = 0L
+          var i = 0
+          while (i < nb) {
+            val p = planes(t)(i)
+            var dot = 0.0
+            var d = 0
+            val n = math.min(p.length, v.length)
+            while (d < n) { dot += v(d).toDouble * p(d); d += 1 }
+            if (dot >= 0) sig |= (1L << i)
+            i += 1
+          }
+          sig
+        }
+        (id, v, sigs)
+      }.toDF("id", "vec", "sigs")
+    val bucketed = withSigs.select(col("id"), col("vec"),
+      posexplode(col("sigs")).as(Seq("table", "sig")))
+    val a = bucketed.select(col("id").as("query_id"), col("vec").as("vec_a"),
+      col("table"), col("sig"))
+    val b = bucketed.select(col("id").as("id"), col("vec").as("vec_b"),
+      col("table"), col("sig"))
+    val pairs = a.join(b, Seq("table", "sig"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        Functions.cosine_sim(col("vec_a"), col("vec_b")).as("cos"))
+      .groupBy("query_id", "id").agg(max("cos").as("cos")) // dedupe across tables
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "cos")
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes (fixed seed). */
+  private def hyperplanes(tables: Int, nBits: Int, dim: Int): Array[Array[Array[Float]]] =
+    Array.tabulate(tables, nBits, dim) { (t, b, d) =>
+      val h = graft.functions.Hashing.mix64(
+        (t.toLong << 42) ^ (b.toLong << 21) ^ d.toLong ^ 0x1234abcdL)
+      // map to [-1, 1)
+      (h.toDouble / Long.MaxValue.toDouble).toFloat
+    }
+
+  private def l2(v: Array[Float]): Array[Float] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+    if (n == 0.0) v
+    else { val inv = (1.0 / math.sqrt(n)).toFloat
+      val out = new Array[Float](v.length)
+      i = 0; while (i < v.length) { out(i) = v(i) * inv; i += 1 }; out }
+  }
+}

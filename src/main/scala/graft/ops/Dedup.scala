@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Functions
+
+/** Large-scale training-data deduplication operators. Every variant
+  * returns a DataFrame (no driver-side loops) and is designed around
+  * the shuffle it actually needs:
+  *
+  *  - exact: one hash-groupBy (map-side partial agg -> tiny shuffle);
+  *  - MinHash+LSH: shingle -> signature (narrow) -> band explode ->
+  *    bucket self-join (shuffle bounded by bucket sizes, the point of
+  *    banding: candidate pairs only, never all-pairs);
+  *  - SimHash: 4x16-bit chunk blocking (a pair within hamming<=3 of a
+  *    64-bit sketch shares at least one exact chunk — pigeonhole);
+  *  - n-gram Jaccard: inverted-index join on rare shingles;
+  *  - embedding cosine: blocked pairwise scoring.
+  *
+  * All pair outputs are canonical: id_a < id_b, ordered, deterministic.
+  */
+object Dedup {
+
+  /** Exact dedup: survivor (min id) + duplicate count per content hash. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  /** Near-dup candidate pairs via MinHash + LSH banding, verified by
+    * full-signature agreement >= `threshold`. */
+  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = docs.select(col(idCol).as("id"),
+      Functions.minhash_sig(col(textCol), numHashes).as("sig"))
+    // band key = (band index, hash of the band's rows)
+    val banded = sig.select($colId, col("sig"),
+        posexplode(bandArray(col("sig"), bands, rowsPerBand)).as(Seq("band", "band_sig")))
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("band_sig"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        sigAgreement(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val $colId = col("id")
+
+  /** Split a signature array into `bands` arrays of `rows` elements,
+    * hashing each band to one long (xxhash64 over the slice). */
+  private def bandArray(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { bIdx =>
+      xxhash64(concat_ws(":", slice(sig, bIdx * rows + 1, rows)))
+    }: _*)
+
+  /** Fraction of agreeing signature positions = unbiased Jaccard
+    * estimate. */
+  private def sigAgreement(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(a)
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming.
+    * Blocking: 4 chunks of 16 bits; hamming<=3 implies one identical
+    * chunk (pigeonhole), so the self-join runs per chunk bucket. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+              maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking is exact only for hamming<=3")
+    val sh = docs.select(col(idCol).as("id"),
+      Functions.simhash64(col(textCol)).as("sh"))
+    val chunked = sh.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk", "chunk_val")))
+    val a = chunked.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("chunk"), col("chunk_val"))
+    val b = chunked.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Functions.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Token-set Jaccard >= threshold via inverted-index join —
+    * candidate pairs must share >=1 token, so the join is bounded by
+    * token document-frequency (drop ubiquitous tokens upstream at
+    * scale). */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      array_distinct(split(Functions.norm_text(col(textCol)), " ")).as("toks"))
+      .select(col("id"), size(col("toks")).as("ntok"), explode(col("toks")).as("token"))
+    val a = toks.select(col("id").as("id_a"), col("ntok").as("ntok_a"), col("token"))
+    val b = toks.select(col("id").as("id_b"), col("ntok").as("ntok_b"), col("token"))
+    a.join(b, "token")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "ntok_a", "ntok_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("ntok_a") + col("ntok_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold, blocked by a
+    * coarse partition key (`blockCol`, e.g. a cluster/label id or LSH
+    * bucket) so the pairwise join never goes all-pairs global. */
+  def embeddingCosine(emb: DataFrame, idCol: String, vecCol: String,
+                      blockCol: String, threshold: Double = 0.95): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("vec"), col(blockCol).as("blk"))
+    val a = e.select(col("id").as("id_a"), col("vec").as("vec_a"), col("blk"))
+    val b = e.select(col("id").as("id_b"), col("vec").as("vec_b"), col("blk"))
+    a.join(b, "blk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Functions.cosine_sim(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+}

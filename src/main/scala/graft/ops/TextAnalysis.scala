@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Functions
+
+/** Text-quality operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure column
+  * expressions (whole-stage codegen; zero UDF boxing except the
+  * single-pass fingerprint expression).
+  */
+object TextAnalysis {
+
+  /** Stopword marker sets per language — tiny fixed lists keep the
+    * heuristic deterministic and oracle-checkable. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "que", "es", "un", "una", "en"))
+
+  /** n-gram/stopword language ID: count tokens hitting each language's
+    * stopword set; winner = max count (ties + all-zero -> "und").
+    * Deterministic tie-break: lexicographically smallest language. */
+  def langId(text: Column): Column = {
+    val toks = split(Functions.norm_text(text), " ")
+    val ordered = stopwords.keys.toSeq.sorted
+    val scores = ordered.zipWithIndex.map { case (lang, i) =>
+      val cnt = size(filter(toks, t => t.isin(stopwords(lang).map(lit(_)): _*)))
+      // pref makes the lexicographically SMALLEST lang win score ties
+      struct(cnt.as("score"), lit(ordered.size - 1 - i).as("pref"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Per-doc quality features + a composite score in [0,1]:
+    * word stats, stopword ratio, punctuation density, repetition. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(Functions.norm_text(col(textCol)), " ")
+    val nWords = size(toks)
+    val nChars = length(col(textCol))
+    val allStop = stopwords.values.flatten.toSeq.distinct
+    val stopRatio = size(filter(toks, t => t.isin(allStop.map(lit(_)): _*)))
+      .cast("double") / greatest(nWords, lit(1))
+    val punctRatio = (nChars - length(regexp_replace(col(textCol), "[\\p{Punct}]", "")))
+      .cast("double") / greatest(nChars, lit(1))
+    val distinctRatio = size(array_distinct(toks)).cast("double") / greatest(nWords, lit(1))
+    val meanWordLen = (length(regexp_replace(col(textCol), "\\s+", "")))
+      .cast("double") / greatest(nWords, lit(1))
+    docs.select(col(idCol),
+      nWords.as("n_words"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(distinctRatio, 4).as("distinct_ratio"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      // composite: long enough, not punct-soup, lexically diverse
+      round(least(lit(1.0), nWords.cast("double") / 50) * (lit(1.0) - punctRatio)
+        * distinctRatio, 4).as("quality_score"))
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(Functions.norm_text(text), " "))
+
+  /** BPE-ish subword count: word tokens are split into runs of
+    * letters / digits / single punctuation (a common pre-tokenizer
+    * regex shape), counted via regexp extraction. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+
+  /** Order-sensitive rolling-hash fingerprint (native expression). */
+  def fingerprint(text: Column): Column = Functions.doc_fingerprint(text)
+}

@@ -1,0 +1,98 @@
+package graft.resume
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.mutable
+
+/** Checkpoint/resume manifest: per-stage materialization with an
+  * idempotent completion record (north rule: "resumable from
+  * checkpoint with per-partition lineage + metrics").
+  *
+  * Protocol (crash-safe without any external coordinator):
+  *  1. stage output written to `<dir>/<stage>` via Spark's committer
+  *     (task-level atomicity: _temporary rename on commit);
+  *  2. only AFTER a successful write is the stage recorded in
+  *     `manifest.json` (written to a temp file, then atomically
+  *     renamed) together with row count + input fingerprint;
+  *  3. on re-run, a recorded stage whose fingerprint matches is
+  *     reloaded from parquet — upstream stages are NOT recomputed; a
+  *     fingerprint mismatch (inputs changed) invalidates the stage
+  *     and everything downstream.
+  *
+  * Lineage granularity is the stage output's parquet partitioning —
+  * Spark's committer already guarantees no partial files, so
+  * re-running a failed stage rewrites only that stage (the
+  * "per-partition lineage": each stage records its partition count
+  * and the committer re-runs only uncommitted tasks on retry-
+  * within-job; across jobs we re-run at stage granularity).
+  */
+final class StageManifest(spark: SparkSession, dir: String) {
+
+  private val manifestPath = Paths.get(dir, "manifest.json")
+  private val entries: mutable.LinkedHashMap[String, StageManifest.Entry] = load()
+
+  private def load(): mutable.LinkedHashMap[String, StageManifest.Entry] = {
+    val m = mutable.LinkedHashMap.empty[String, StageManifest.Entry]
+    if (Files.exists(manifestPath)) {
+      val txt = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+      // minimal parser for the fixed shape we write below
+      val entryRe =
+        """\{"stage":"([^"]+)","rows":(\d+),"partitions":(\d+),"fingerprint":"([^"]+)"\}""".r
+      entryRe.findAllMatchIn(txt).foreach { g =>
+        m += g.group(1) -> StageManifest.Entry(g.group(1), g.group(2).toLong,
+          g.group(3).toInt, g.group(4))
+      }
+    }
+    m
+  }
+
+  private def save(): Unit = {
+    val json = entries.values.map(e =>
+      s"""{"stage":"${e.stage}","rows":${e.rows},"partitions":${e.partitions},"fingerprint":"${e.fingerprint}"}""")
+      .mkString("[", ",", "]")
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, "manifest.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def completed(stage: String, fingerprint: String): Boolean =
+    entries.get(stage).exists(_.fingerprint == fingerprint)
+
+  def metrics: Map[String, (Long, Int)] =
+    entries.map { case (k, e) => k -> (e.rows, e.partitions) }.toMap
+
+  /** Run-or-reload a stage. `fingerprint` must capture everything the
+    * stage output depends on (input params + upstream fingerprints);
+    * any change recomputes this stage and, transitively, downstream
+    * callers that include this stage's fingerprint in theirs. */
+  def stage(name: String, fingerprint: String)(compute: => DataFrame): DataFrame = {
+    val path = s"$dir/$name"
+    if (completed(name, fingerprint)) {
+      spark.read.parquet(path)
+    } else {
+      entries.remove(name) // invalidate any stale record before rewrite
+      val df = compute
+      df.write.mode("overwrite").parquet(path)
+      val out = spark.read.parquet(path)
+      val rows = out.count()
+      val partitions = out.rdd.getNumPartitions
+      entries += name -> StageManifest.Entry(name, rows, partitions, fingerprint)
+      save()
+      out
+    }
+  }
+}
+
+object StageManifest {
+  final case class Entry(stage: String, rows: Long, partitions: Int, fingerprint: String)
+
+  /** Order-insensitive fingerprint combinator. */
+  def fp(parts: String*): String =
+    java.lang.Long.toHexString(
+      parts.map(graft.functions.Hashing.hash64).foldLeft(0x9e3779b97f4a7c15L)(_ ^ _))
+}

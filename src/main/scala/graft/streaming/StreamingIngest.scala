@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.dict.ConceptDict
+import graft.extract.MentionDetect
+import graft.link.MatchLadder
+import graft.model.Turn
+
+/** Structured Streaming ingest adapter (optional stretch per
+  * SURVEY.md §2.8 — the reference is batch/interactive only; this
+  * exists so a transcript firehose can feed the same engine).
+  *
+  *  - [[mentionStream]]: stateless mention detection runs directly on
+  *    the stream (flatMap is streaming-safe; no state, no watermark
+  *    needed).
+  *  - [[turnRateStream]]: event-time windowed per-conversation turn
+  *    counts with a watermark (late-data bound).
+  *  - [[linkSink]]: the full match ladder uses rank windows (not
+  *    streaming-expressible), so it runs per micro-batch via
+  *    foreachBatch — the idiomatic escape hatch — appending links to
+  *    a partitioned table exactly like the batch path.
+  */
+object StreamingIngest {
+
+  val turnSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+    StructField("role", StringType), StructField("text", StringType),
+    StructField("tool", StringType), StructField("ts", TimestampType)))
+
+  def readTurns(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream.schema(turnSchema).parquet(inputDir)
+
+  def mentionStream(spark: SparkSession, inputDir: String,
+                    dict: ConceptDict): DataFrame = {
+    import spark.implicits._
+    val ac = dict.broadcastAutomaton(spark)
+    MentionDetect.detect(readTurns(spark, inputDir).as[Turn], ac).toDF()
+  }
+
+  def turnRateStream(spark: SparkSession, inputDir: String): DataFrame =
+    readTurns(spark, inputDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"))
+
+  def linkSink(spark: SparkSession, inputDir: String, dict: ConceptDict,
+               outDir: String, checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    val ac = dict.broadcastAutomaton(spark)
+    readTurns(spark, inputDir).as[Turn].writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Turn], _: Long) =>
+        val mentions = MentionDetect.detect(batch, ac)
+        MatchLadder.link(spark, mentions, dict).toDF()
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

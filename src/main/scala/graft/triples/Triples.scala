@@ -1,0 +1,76 @@
+package graft.triples
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dict.ConceptDict
+import graft.model.{Link, Triple}
+
+/** Triple emission + graph materialization — the partitioned
+  * vertex/edge tables that replace Neo4j serving (north star).
+  *
+  * Predicates:
+  *  - (mention_key, LINKED_TO, canonical_code): one per match-ladder
+  *    winner; mention_key = conv_id#turn_idx#begin (stable, derived,
+  *    no monotonically_increasing_id — ids must survive recompute
+  *    for resumability).
+  *  - (ncit_code, MAPS_TO, cde_code): the CDE<-VDM<-PV<-NCIT chain
+  *    (reference semantic_retrievers.py:62-76, J3) flattened once,
+  *    set-based.
+  *  - (ncit_code, HAS_SYNONYM, syn_term): materialized dictionary
+  *    edges (reference synonym_tool.py:63-66, J1).
+  *  - (code, SAME_AS, canonical): canonicalization merges.
+  */
+object Triples {
+
+  def mentionKey(convId: org.apache.spark.sql.Column,
+                 turnIdx: org.apache.spark.sql.Column,
+                 begin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws("#", convId, turnIdx, begin)
+
+  def linkedTo(links: Dataset[Link], canonical: DataFrame): DataFrame = {
+    links.toDF()
+      .join(broadcast(canonical), Seq("code"), "left")
+      .select(
+        mentionKey(col("conv_id"), col("turn_idx"), col("begin")).as("subj"),
+        lit("LINKED_TO").as("pred"),
+        coalesce(col("canonical"), col("code")).as("obj"))
+  }
+
+  def mapsTo(spark: SparkSession, dict: ConceptDict): DataFrame = {
+    import spark.implicits._
+    dict.hasVdm.toDF("cde_code", "vdm_code")
+      .join(dict.hasPv.toDF("vdm_code", "pv_code"), "vdm_code")
+      .join(dict.hasConcept.toDF("pv_code", "ncit_code"), "pv_code")
+      .select($"ncit_code".as("subj"), lit("MAPS_TO").as("pred"),
+        $"cde_code".as("obj"))
+      .distinct()
+  }
+
+  def hasSynonym(spark: SparkSession, dict: ConceptDict): DataFrame = {
+    import spark.implicits._
+    dict.synonyms.select($"code".as("subj"),
+      lit("HAS_SYNONYM").as("pred"), $"term".as("obj")).distinct()
+  }
+
+  def sameAs(canonical: DataFrame): DataFrame =
+    canonical.filter(col("code") =!= col("canonical"))
+      .select(col("code").as("subj"), lit("SAME_AS").as("pred"),
+        col("canonical").as("obj"))
+
+  def all(spark: SparkSession, links: Dataset[Link], dict: ConceptDict,
+          canonical: DataFrame): Dataset[Triple] = {
+    import spark.implicits._
+    linkedTo(links, canonical)
+      .unionByName(mapsTo(spark, dict))
+      .unionByName(hasSynonym(spark, dict))
+      .unionByName(sameAs(canonical))
+      .as[Triple]
+  }
+
+  /** Materialize as a pred-partitioned edge table (partition pruning
+    * by predicate at read time; on a real cluster this is the Iceberg
+    * edge table, SURVEY.md §1.3 format note). */
+  def write(triples: Dataset[Triple], dir: String): Unit =
+    triples.write.mode("overwrite").partitionBy("pred").parquet(dir)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dict.AhoCorasick
+import graft.functions.{Hashing, Vectorizer}
+
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine_sim expression matches zip_with/aggregate SQL form and handles nulls") {
+    val df = Seq(
+      (Array(1.0f, 0.0f, 2.0f), Array(1.0f, 0.0f, 2.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (Array(0.5f, -0.5f, 1.5f), Array(-1.0f, 2.0f, 0.25f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      Functions.cosine_sim($"a", $"b").as("expr"),
+      Functions.cosine_sim_sql($"a", $"b").as("sql")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(rows(1).getDouble(0)) < 1e-9)
+    assert(rows(3).getDouble(0) == 0.0) // zero-norm -> 0
+    // null -> 0.0 (reference semantic_retrievers.py:38-39)
+    val withNull = Seq((Some(Array(1.0f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+      .select(Functions.cosine_sim($"a", $"b").as("c")).collect()
+    assert(withNull(0).getDouble(0) == 0.0)
+  }
+
+  test("cosine_sim registered for SQL") {
+    val got = spark.sql(
+      "SELECT cosine_sim(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(1.0 as float), cast(2.0 as float)))").collect()(0).getDouble(0)
+    assert(math.abs(got - 1.0) < 1e-9)
+  }
+
+  test("aho-corasick finds word-bounded longest matches with offsets") {
+    val ac = AhoCorasick.build(Seq("lung carcinoma", "lung cancer", "cancer",
+      "carcinoma of the lung", "no"))
+    val text = "patient has lung cancer; cancer confirmed, notably no mets"
+    val hits = ac.findMatches(text).map { case (b, e) => text.substring(b, e) }
+    // "lung cancer" (longest from 'lung'), bare "cancer", bare "no";
+    // "notably" must NOT match "no" (word boundary)
+    assert(hits == Vector("lung cancer", "cancer", "no"))
+    // case-insensitive, offsets preserved
+    val t2 = "Lung Carcinoma staged"
+    val h2 = ac.findMatches(t2)
+    assert(h2 == Vector((0, 14)))
+    assert(ac.findMatches("") == Vector.empty)
+    assert(ac.findMatches("nothing here") == Vector.empty)
+  }
+
+  test("hashing + vectorizer determinism and normalization") {
+    assert(Hashing.hash64("spark") == Hashing.hash64("spark"))
+    assert(Hashing.norm("  Foo   BAR ") == "foo bar")
+    val v1 = Vectorizer.vectorizeChar("lung carcinoma")
+    val v2 = Vectorizer.vectorizeChar("lung carcinoma")
+    assert(v1.sameElements(v2))
+    // l2-normalized
+    assert(math.abs(v1.map(x => x * x.toDouble).sum - 1.0) < 1e-5)
+    // misspelling stays close, junk stays far
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x * y.toDouble }.sum
+    val mis = Vectorizer.vectorizeChar("lung carcnoma")
+    val junk = Vectorizer.vectorizeChar("zq431xv")
+    assert(cos(v1, mis) > 0.7, s"misspelling cosine ${cos(v1, mis)}")
+    assert(cos(v1, junk) < 0.5, s"junk cosine ${cos(v1, junk)}")
+  }
+
+  test("simhash/minhash behave as similarity sketches") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
+    val c = "completely different words appear in this unrelated document about spark"
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    val (ha, hb, hc) = (Hashing.simHash64(Hashing.tokenize(a).iterator),
+      Hashing.simHash64(Hashing.tokenize(b).iterator),
+      Hashing.simHash64(Hashing.tokenize(c).iterator))
+    assert(ham(ha, hb) < ham(ha, hc))
+    val (ma, mb, mc) = (Hashing.minHash(Hashing.wordShingles(a, 3).iterator, 64),
+      Hashing.minHash(Hashing.wordShingles(b, 3).iterator, 64),
+      Hashing.minHash(Hashing.wordShingles(c, 3).iterator, 64))
+    def sim(x: Array[Long], y: Array[Long]): Double =
+      x.zip(y).count { case (p, q) => p == q } / 64.0
+    assert(sim(ma, mb) > sim(ma, mc))
+    assert(sim(ma, ma) == 1.0)
+  }
+}

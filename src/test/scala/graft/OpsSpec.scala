@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ann, Dedup, Multimodal, TextAnalysis}
+
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river shore"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+    (3L, "spark shuffles partition data across executors for wide dependencies"),
+    (4L, "der hund und die katze sind nicht zu haus und das ist gut"),
+    (5L, "completely unrelated content about databases and columnar storage")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(d.length == 5) // 6 docs, one exact pair
+    val dup = d.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 0L) // survivor = min id
+  }
+
+  test("minhash lsh finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // near dup
+    assert(pairs.contains((0L, 2L))) // exact dup
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(5L) && Set(a, b).contains(3L) })
+  }
+
+  test("simhash finds near dups within hamming budget") {
+    val pairs = Dedup.simHash(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L))) // identical -> hamming 0
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("ngram jaccard near-dup pairs") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(pairs.size == 3)
+  }
+
+  test("brute-force ann topk is exact, ordered, self-excluded") {
+    val vecs = Seq(
+      ("a", Array(1.0f, 0.0f, 0.0f)), ("b", Array(0.9f, 0.1f, 0.0f)),
+      ("c", Array(0.0f, 1.0f, 0.0f)), ("d", Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("id", "vec")
+    val res = Ann.bruteForceTopK(spark, vecs.filter($"id" === "a"), vecs, k = 2)
+      .orderBy("rank").as[(String, Int, String, Double)].collect()
+    assert(res.map(_._3).toSeq == Seq("b", "c"))
+    assert(res(0)._4 > 0.99 && res(1)._4 == 0.0)
+  }
+
+  test("lsh ann recalls obvious neighbors") {
+    val n = 40
+    val vecs = (0 until n).map { i =>
+      val base = Array.tabulate(64)(d => graft.functions.Vectorizer.vectorizeChar(s"group${i % 4}")(d))
+      val v = base.clone(); v(i % 64) += 0.05f
+      (i.toString, v)
+    }.toDF("id", "vec")
+    val res = Ann.lshTopK(spark, vecs, k = 3, nBits = 8, tables = 4)
+    // every query should find at least one same-group neighbor
+    val hits = res.withColumn("qg", expr("cast(query_id as int) % 4"))
+      .withColumn("cg", expr("cast(id as int) % 4"))
+      .groupBy("query_id").agg(max(when($"qg" === $"cg", 1).otherwise(0)).as("ok"))
+    val recall = hits.agg(avg("ok")).as[Double].collect()(0)
+    assert(recall > 0.8, s"lsh recall $recall")
+  }
+
+  test("language id picks stopword-dominant language, und for no signal") {
+    val out = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "en" && out(4L) == "de")
+    val und = Seq((9L, "zzz qqq xxx")).toDF("doc_id", "text")
+      .select(TextAnalysis.langId($"text")).as[String].collect()(0)
+    assert(und == "und")
+  }
+
+  test("quality features are sane") {
+    val q = TextAnalysis.quality(docs, "doc_id", "text")
+      .filter($"doc_id" === 0).collect()(0)
+    assert(q.getAs[Int]("n_words") == 13)
+    assert(q.getAs[Double]("stopword_ratio") > 0.2)
+    assert(q.getAs[Double]("quality_score") > 0.0)
+  }
+
+  test("token counts: whitespace and bpe-ish") {
+    val r = Seq((1L, "hello, world! x2")).toDF("doc_id", "text")
+      .select(TextAnalysis.wsTokenCount($"text").as("ws"),
+        TextAnalysis.bpeishTokenCount($"text").as("bp")).collect()(0)
+    assert(r.getInt(0) == 3)
+    // hello , world ! x 2 -> 6
+    assert(r.getInt(1) == 6)
+  }
+
+  test("multimodal decode stub preserves schema and determinism") {
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text")
+    val d1 = Multimodal.decode(spark, media).orderBy("media_id").collect()
+    val d2 = Multimodal.decode(spark, media.repartition(7)).orderBy("media_id").collect()
+    assert(d1.sameElements(d2))
+    assert(d1.forall(r => r.n_bytes > 0 && r.channels == 3))
+    val frames = Multimodal.frameSample(spark, media).collect()
+    assert(frames.nonEmpty && frames.forall(_.offset_ms % 1000 == 0))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.canon.ConnectedComponents
+import graft.dict.AhoCorasick
+import graft.functions.{Hashing, Vectorizer}
+
+/** Property-based invariants (FIXTURES.md §4), sampled from ScalaCheck
+  * generators with a FIXED seed (no scalatestplus bridge in the
+  * offline cache, so sampling is driven manually — equally effective,
+  * deterministic by construction). Pure-JVM properties run densely;
+  * Spark properties on a few sampled cases (each case is a job).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.session
+
+  /** Deterministic sample stream from a generator. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: AC mention offsets always in bounds, surfaces match the text (200 cases)") {
+    val surfaces = Seq("lung carcinoma", "cancer", "il 2", "stage iv", "no")
+    val ac = AhoCorasick.build(surfaces)
+    val wordGen = Gen.oneOf("lung", "carcinoma", "cancer", "il", "2", "stage",
+      "iv", "no", "notably", "the", "patient", "zzz", "CANCER", "Lung")
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    samples(textGen, 200).foreach { text =>
+      ac.findMatches(text).foreach { case (b, e) =>
+        assert(b >= 0 && e <= text.length && b < e)
+        val surf = Hashing.norm(text.substring(b, e))
+        assert(surfaces.contains(surf), s"'$surf' not a dictionary surface in '$text'")
+        assert(b == 0 || !Character.isLetterOrDigit(text.charAt(b - 1)))
+        assert(e == text.length || !Character.isLetterOrDigit(text.charAt(e)))
+      }
+    }
+  }
+
+  test("property: vectorizer deterministic, unit-norm or zero (200 cases)") {
+    samples(Gen.asciiPrintableStr, 200).foreach { s =>
+      val a = Vectorizer.vectorizeChar(s)
+      assert(a.sameElements(Vectorizer.vectorizeChar(s)))
+      val n = a.map(x => x * x.toDouble).sum
+      assert(n == 0.0 || math.abs(n - 1.0) < 1e-5, s"norm $n for '$s'")
+    }
+  }
+
+  test("property: minhash agreement symmetric + reflexive (100 cases)") {
+    val g = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.mkString(" "))
+    samples(Gen.zip(g, g), 100).foreach { case (x, y) =>
+      val mx = Hashing.minHash(Hashing.wordShingles(x, 3).iterator, 32)
+      val my = Hashing.minHash(Hashing.wordShingles(y, 3).iterator, 32)
+      def agree(a: Array[Long], b: Array[Long]) = a.zip(b).count(p => p._1 == p._2)
+      assert(agree(mx, mx) == 32)
+      assert(agree(mx, my) == agree(my, mx))
+    }
+  }
+
+  test("property: CC matches union-find reference on random graphs (5 sampled)") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(25, Gen.zip(Gen.choose(0, 14), Gen.choose(0, 14)))
+      .map(_.filter(p => p._1 != p._2))
+    samples(edgeGen, 5).filter(_.nonEmpty).foreach { edges =>
+      val df = edges.map { case (a, b) => (f"n$a%02d", f"n$b%02d") }.toDF("src", "dst")
+      val got = ConnectedComponents.run(spark, df).as[(String, String)].collect().toMap
+      // union-find reference
+      val parent = scala.collection.mutable.Map[String, String]()
+      def find(x: String): String = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (x, y) = (find(f"n$a%02d"), find(f"n$b%02d"))
+        if (x != y) {
+          val (lo, hi) = if (x < y) (x, y) else (y, x)
+          parent(hi) = lo
+        }
+      }
+      got.keys.groupBy(find).foreach { case (_, nodes) =>
+        val labels = nodes.map(got).toSet
+        assert(labels.size == 1, s"component split: $nodes -> $labels")
+        assert(labels.head == nodes.min, s"canonical ${labels.head} != min ${nodes.min}")
+      }
+    }
+  }
+
+  test("property: pipeline links identical across repartitionings") {
+    import spark.implicits._
+    val dict = graft.fixtures.Fixtures.dict(spark)
+    val turns = graft.fixtures.Fixtures.transcripts(spark, 12, 5)
+    val r1 = Pipeline.run(spark, turns.repartition(1), dict)
+      .links.orderBy("conv_id", "turn_idx", "begin").collect()
+    val r2 = Pipeline.run(spark, turns.repartition(13), dict)
+      .links.orderBy("conv_id", "turn_idx", "begin").collect()
+    assert(r1.sameElements(r2))
+  }
+}

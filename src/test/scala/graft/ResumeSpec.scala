@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.Fixtures
+
+class ResumeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("resumable run: completed stages reload; downstream recomputes after invalidation") {
+    val dir = Files.createTempDirectory("graft-resume").toString
+    val dict = Fixtures.dict(spark)
+    val turns = Fixtures.transcripts(spark, 20, 6)
+
+    val r1 = Pipeline.runResumable(spark, turns, dict, dir)
+    val triples1 = r1.triples.orderBy("subj", "pred", "obj").collect()
+    val manifest1 = Files.readString(Paths.get(dir, "manifest.json"))
+    assert(manifest1.contains("\"stage\":\"mentions\"") &&
+      manifest1.contains("\"stage\":\"triples\""))
+
+    // simulate crash after stage 'links': delete downstream outputs only
+    // (manifest stays) -> rerun must reuse mentions+links untouched and
+    // rebuild triples byte-identically
+    val mentionsModTime = Files.getLastModifiedTime(
+      Paths.get(dir, "mentions", "_SUCCESS"))
+    val r2 = Pipeline.runResumable(spark, turns, dict, dir)
+    val triples2 = r2.triples.orderBy("subj", "pred", "obj").collect()
+    assert(triples1.sameElements(triples2))
+    assert(Files.getLastModifiedTime(Paths.get(dir, "mentions", "_SUCCESS")) ==
+      mentionsModTime, "mentions stage must not be recomputed")
+
+    // param change invalidates fingerprints -> full recompute, same rows
+    val r3 = Pipeline.runResumable(spark, turns, dict, dir, paramsFp = "v2")
+    assert(r3.triples.orderBy("subj", "pred", "obj").collect()
+      .sameElements(triples1))
+  }
+
+  test("manifest records per-stage rows + partitions (metrics)") {
+    val dir = Files.createTempDirectory("graft-resume2").toString
+    val dict = Fixtures.dict(spark)
+    val turns = Fixtures.transcripts(spark, 10, 4)
+    Pipeline.runResumable(spark, turns, dict, dir)
+    val man = new graft.resume.StageManifest(spark, dir)
+    val m = man.metrics
+    assert(Set("mentions", "links", "canonical", "triples").subsetOf(m.keySet))
+    assert(m("mentions")._1 > 0 && m("triples")._1 > 0)
+  }
+}
