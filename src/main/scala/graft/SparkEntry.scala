@@ -368,6 +368,47 @@ object SparkEntry {
         .orderBy(col("ym"))
     }),
 
+    // F8: agent-response line parsing (reference response_parser.py:5-43)
+    "f8_parse_lines" -> ((s, dir) => {
+      val resp = T(s, dir, "documents").select(col("doc_id"),
+        concat(lit("Thought: map raw value\n"),
+          lit("Action: term_matcher\n"),
+          lit("Observation: found code C"), pmod(col("doc_id"), lit(97)), lit("\n"),
+          lit("Final Answer: C"), pmod(col("doc_id"), lit(97)),
+          lit(" Confidence: "),
+          when(col("doc_id") % 3 === 0, "High")
+            .when(col("doc_id") % 3 === 1, "Medium").otherwise("Low")).as("response"))
+      graft.ops.ResponseParser.parseLines(resp, "response")
+        .select(col("doc_id"), col("line_no"), col("kind"))
+        .orderBy(col("doc_id"), col("line_no"))
+    }),
+
+    // F9: code/confidence/tool extraction from the full response
+    "f9_parse_response" -> ((s, dir) => {
+      val resp = T(s, dir, "documents").select(col("doc_id"),
+        concat(lit("Action: term_matcher\nFinal Answer: C"),
+          pmod(col("doc_id"), lit(97)), lit(" confidence: "),
+          when(col("doc_id") % 3 === 0, "high")
+            .when(col("doc_id") % 3 === 1, "medium").otherwise("low")).as("response"))
+      resp.select(col("doc_id"),
+        graft.ops.ResponseParser.extractCode(col("response")).as("code"),
+        graft.ops.ResponseParser.extractConfidence(col("response")).as("confidence"),
+        graft.ops.ResponseParser.detectTool(col("response")).as("tool"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // explicit two-phase salted aggregation over the hot conv_id key
+    // (north star skew handling; result identical to direct groupBy)
+    "skew_salted_agg" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      graft.ops.Skew.saltedAgg(t, "conv_id", salts = 8,
+        saltSource = Seq("conv_id", "turn_idx"),
+        partial = Seq(count(lit(1)).as("pc"), sum(length(col("text"))).as("ps")),
+        combine = Seq(sum(col("pc")).as("n_turns"),
+          sum(col("ps")).cast("long").as("total_chars")))
+        .orderBy(col("conv_id"))
+    }),
+
     // ======== KG pipeline (the north-star operators) ========
 
     // mention detection: broadcast Aho-Corasick over transcript turns
@@ -709,6 +750,46 @@ object SparkEntry {
       """SELECT strftime(o_orderdate, '%Y%m') AS ym, count(*) AS n,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin,
+
+    "f8_parse_lines" ->
+      """WITH resp AS (SELECT doc_id,
+        |  'Thought: map raw value' || chr(10) || 'Action: term_matcher' || chr(10) ||
+        |  'Observation: found code C' || (doc_id % 97) || chr(10) ||
+        |  'Final Answer: C' || (doc_id % 97) || ' Confidence: ' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN 'High' WHEN doc_id % 3 = 1 THEN 'Medium'
+        |   ELSE 'Low' END AS response FROM documents),
+        | lines AS (SELECT doc_id,
+        |   generate_subscripts(string_split(response, chr(10)), 1) - 1 AS line_no,
+        |   unnest(string_split(response, chr(10))) AS line FROM resp)
+        |SELECT doc_id, line_no,
+        | CASE WHEN starts_with(line, 'Thought:') THEN 'thought'
+        |  WHEN starts_with(line, 'Action:') THEN 'action'
+        |  WHEN starts_with(line, 'Observation:') THEN 'observation'
+        |  WHEN starts_with(line, 'Final Answer:') THEN 'final'
+        |  ELSE 'other' END AS kind
+        |FROM lines ORDER BY doc_id, line_no""".stripMargin,
+
+    "f9_parse_response" ->
+      """WITH resp AS (SELECT doc_id,
+        |  'Action: term_matcher' || chr(10) || 'Final Answer: C' || (doc_id % 97) ||
+        |  ' confidence: ' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN 'high' WHEN doc_id % 3 = 1 THEN 'medium'
+        |   ELSE 'low' END AS response FROM documents)
+        |SELECT doc_id, regexp_extract(response, '([A-Z]\d+)', 1) AS code,
+        | CASE lower(regexp_extract(response, '(?i)Confidence[:\s]*(High|Medium|Low)', 1))
+        |  WHEN 'high' THEN 'High' WHEN 'medium' THEN 'Medium' WHEN 'low' THEN 'Low'
+        |  ELSE '' END AS confidence,
+        | CASE WHEN contains(lower(response), 'action: term_matcher') THEN 'term_matcher'
+        |  WHEN contains(lower(response), 'action: node_matcher') THEN 'node_matcher'
+        |  WHEN contains(lower(response), 'action: semantic_search') THEN 'semantic_search'
+        |  ELSE 'none' END AS tool
+        |FROM resp ORDER BY doc_id""".stripMargin,
+
+    "skew_salted_agg" ->
+      s"""WITH t AS ($transcriptsSql)
+         |SELECT conv_id, count(*) AS n_turns,
+         | CAST(sum(length(text)) AS BIGINT) AS total_chars
+         |FROM t GROUP BY conv_id ORDER BY conv_id""".stripMargin,
 
     "kg_mention_detect" ->
       s"""WITH t AS ($transcriptsSql),

@@ -29,11 +29,14 @@ object Canonicalizer {
   }
 
   /** (code, canonical) for EVERY code (identity rows included, so a
-    * plain inner join applies the map). */
+    * plain inner join applies the map). Uses the driver-local CC path:
+    * the shares-a-surface graph is dictionary-sized by construction
+    * (<= one edge per surface), so the iterative distributed CC would
+    * only add serial job-scheduling latency to every pipeline run. */
   def canonicalMap(spark: SparkSession, dict: ConceptDict): DataFrame = {
     import spark.implicits._
     val edges = synonymShareEdges(spark, dict)
-    val comp = ConnectedComponents.run(spark, edges)
+    val comp = ConnectedComponents.runLocal(spark, edges)
     val allCodes = dict.ncit.select($"code")
       .unionByName(dict.pv.select($"code"))
       .unionByName(dict.cde.select($"code")).distinct()

@@ -18,6 +18,30 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Driver-local union-find for SMALL edge lists (dictionary-sized
+    * synonym graphs: ~10^5 edges even at full NCIT scale). The
+    * iterative distributed path costs ~6-10 Spark jobs of fixed
+    * scheduling latency — pure serial overhead that caps scaling
+    * efficiency when the component graph is tiny next to the corpus.
+    * Returns the same (node, component=min reachable) contract as
+    * [[run]]. */
+  def runLocal(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = edges.select(col("src").cast("string"), col("dst").cast("string"))
+      .as[(String, String)].collect()
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val rows = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+    spark.createDataset(rows).toDF("node", "component")
+  }
+
   /** @param edges DataFrame with string columns (src, dst), undirected.
     * @return DataFrame (node, component) where component = min node id
     *         reachable (lexicographic). */

@@ -285,7 +285,9 @@ object Fixtures {
   def transcripts(spark: SparkSession, nConvs: Long, turnsPerConv: Int,
                   hotEvery: Int = 50, hotFactor: Int = 20): Dataset[Turn] = {
     import spark.implicits._
-    spark.range(0, nConvs, 1, math.max(spark.sparkContext.defaultParallelism, 8))
+    // 4x cores slices: finer tasks smooth hot-conversation imbalance
+    // and keep all threads busy across the pipeline's fused stages
+    spark.range(0, nConvs, 1, math.max(4 * spark.sparkContext.defaultParallelism, 8))
       .flatMap { conv =>
         (0 until turnsInConv(conv, turnsPerConv, hotEvery, hotFactor))
           .iterator.map(t => mkTurn(conv, t))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dict.ConceptDict
-import graft.functions.{CosineSimilarity => _, _}
+import graft.functions.Vectorizer
 import graft.model.{Link, Mention}
 
 /** The de-LLM-ed priority cascade (reference llm_agent_4o.py:485-508:
@@ -19,13 +19,17 @@ import graft.model.{Link, Mention}
   *   4 fuzzy token-overlap top-k(reference exact_match.py:122-180, W2)
   *   5 semantic KNN top-k       (reference semantic_retrievers.py:62-76, W1)
   *
-  * Every stage is a broadcast join against the (small) dictionary —
-  * the transcript side never shuffles. Stages 4/5 run ONLY on
-  * mentions unmatched by 1-3 (cascade short-circuit: at corpus scale
-  * the expensive stages see a tiny residue). Winner per mention by
-  * the pinned deterministic ordering (stage ASC, score DESC, code
-  * ASC) — reference tie order is unspecified, we pin it
-  * (SURVEY.md §7.4).
+  * Scale architecture: the cascade winner for stages 1-3 depends only
+  * on the mention's normalized surface, so the priority selection is
+  * PRECOMPUTED on the dictionary side ([[resolutionTable]]: per
+  * surface, min stage then min code) and applied to the mention
+  * stream as ONE broadcast hash left join — the entire exact cascade
+  * is map-only: no shuffle, no window, no anti-join over the corpus.
+  * Only the unresolved residue (raw values: misspellings, junk —
+  * a small fraction by construction) enters the fuzzy/semantic
+  * stages, whose top-k windows therefore shuffle only residue-sized
+  * data. Winner ordering is pinned deterministic everywhere
+  * (stage ASC, score DESC, code ASC; SURVEY.md §7.4).
   *
   * Confidence bands per reference test_semantic_retrievers.py:270-276:
   * exact/synonym stages -> "high"; semantic/fuzzy: >0.95 high,
@@ -40,48 +44,61 @@ object MatchLadder {
 
   private val mentionKey = Seq("conv_id", "turn_idx", "begin", "end")
 
+  /** Dictionary-side cascade resolution: norm surface ->
+    * (code, stage) winner under (stage ASC, code ASC). Stage 1 rows
+    * are the codes themselves as surfaces (exact code lookup). */
+  def resolutionTable(spark: SparkSession, dict: ConceptDict): DataFrame = {
+    import spark.implicits._
+    val codes = dict.ncit.select($"code")
+      .unionByName(dict.pv.select($"code"))
+      .unionByName(dict.cde.select($"code"))
+      .select(lower($"code").as("norm"), $"code", lit(1).as("stage"))
+    val terms = dict.ncit.select(graft.Functions.norm_text($"term").as("norm"), $"code")
+      .unionByName(dict.pv.select(graft.Functions.norm_text($"term").as("norm"), $"code"))
+      .unionByName(dict.cde.select(graft.Functions.norm_text($"term").as("norm"), $"code"))
+      .withColumn("stage", lit(2))
+    val syns = dict.synonyms
+      .select(graft.Functions.norm_text($"term").as("norm"), $"code", lit(3).as("stage"))
+    val w = Window.partitionBy($"norm").orderBy($"stage".asc, $"code".asc)
+    codes.unionByName(terms).unionByName(syns)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"norm", $"code", $"stage")
+  }
+
+  /** Slow-path convenience: prepares dictionary artifacts inline.
+    * Production / benchmarks should [[graft.dict.PreparedDict.prepare]]
+    * once and call the overload below. */
   def link(spark: SparkSession, mentions: Dataset[Mention], dict: ConceptDict,
            fuzzyK: Int = DefaultFuzzyK, semanticK: Int = DefaultSemanticK,
            fuzzyMin: Double = DefaultFuzzyMin,
-           semanticMin: Double = DefaultSemanticMin): Dataset[Link] = {
+           semanticMin: Double = DefaultSemanticMin): Dataset[Link] =
+    link(spark, mentions, graft.dict.PreparedDict.prepare(spark, dict),
+      fuzzyK, semanticK, fuzzyMin, semanticMin)
+
+  def link(spark: SparkSession, mentions: Dataset[Mention],
+           prepared: graft.dict.PreparedDict,
+           fuzzyK: Int, semanticK: Int,
+           fuzzyMin: Double,
+           semanticMin: Double): Dataset[Link] = {
     import spark.implicits._
 
-    val m = mentions.toDF().cache()
+    val m = mentions.toDF()
 
-    // --- dictionary side (all broadcast-sized by design) ---
-    val termSurfaces = dict.ncit.select(graft.Functions.norm_text($"term").as("norm"), $"code")
-      .unionByName(dict.pv.select(graft.Functions.norm_text($"term").as("norm"), $"code"))
-      .unionByName(dict.cde.select(graft.Functions.norm_text($"term").as("norm"), $"code"))
-      .distinct()
-    val synSurfaces = dict.synonyms
-      .select(graft.Functions.norm_text($"term").as("norm"), $"code").distinct()
-    val allCodes = dict.ncit.select($"code")
-      .unionByName(dict.pv.select($"code"))
-      .unionByName(dict.cde.select($"code")).distinct()
-
-    // --- stage 1: exact code lookup (P1) ---
-    val s1 = m.filter($"norm".rlike("^[a-z]{1,4}\\d+$"))
-      .join(broadcast(allCodes), upper($"norm") === $"code")
-      .select(mentionCols(m) :+ $"code" :+ lit(1).as("stage") :+ lit(1.0).as("score"): _*)
-
-    // --- stage 2: exact normalized term (P2; case-insensitive per
-    //     reference exact_match.py:80) ---
-    val s2 = m.join(broadcast(termSurfaces), "norm")
-      .select(mentionCols(m) :+ $"code" :+ lit(2).as("stage") :+ lit(1.0).as("score"): _*)
-
-    // --- stage 3: synonym surface (J1/J2 flattened) ---
-    val s3 = m.join(broadcast(synSurfaces), "norm")
-      .select(mentionCols(m) :+ $"code" :+ lit(3).as("stage") :+ lit(1.0).as("score"): _*)
-
-    val matched123 = s1.select(mentionKey.map(col): _*)
-      .unionByName(s2.select(mentionKey.map(col): _*))
-      .unionByName(s3.select(mentionKey.map(col): _*))
-      .distinct()
-    val unmatched = m.join(matched123, mentionKey, "left_anti").cache()
+    // --- stages 1-3 in one broadcast join (map-only over the corpus) ---
+    val resolution = prepared.resolution
+    val resolved = m.join(broadcast(resolution), Seq("norm"), "left")
+    val exactLinks = resolved.filter($"code".isNotNull)
+      .select((mentionKey.map(col) :+ $"surface" :+ $"code" :+ $"stage" :+
+        lit(1.0).as("score")): _*)
+    // residue: raw values the dictionary can't resolve exactly
+    val unmatched = resolved.filter($"code".isNull)
+      .select((mentionKey.map(col) :+ $"surface" :+ $"norm"): _*)
 
     // --- stage 4: fuzzy token-overlap top-k (W2 stand-in for the
-    //     Lucene full-text index; deterministic Jaccard scoring) ---
-    val allSurfaces = termSurfaces.unionByName(synSurfaces).distinct()
+    //     Lucene full-text index; deterministic Jaccard scoring).
+    //     Inverted-index join against the broadcast surface tokens;
+    //     shuffles only residue-sized data. ---
+    val allSurfaces = prepared.fuzzySurfaces
     val surfTok = allSurfaces
       .withColumn("toks", array_distinct(split($"norm", " ")))
       .select($"code", $"norm".as("surf_norm"), size($"toks").as("ntok"),
@@ -107,19 +124,15 @@ object MatchLadder {
         lit(4).as("stage") :+ $"score"): _*)
 
     // --- stage 5: semantic KNN (W1) — broadcast brute-force replacing
-    //     Neo4j db.index.vector.queryNodes; per-partition top-k inside
-    //     flatMap, no shuffle, no materialized cross join ---
-    val unmatched45 = unmatched.join(
-      s4.select(mentionKey.map(col): _*).distinct(), mentionKey, "left_anti")
-    val dictVecs: Array[(String, Array[Float])] =
-      dict.ncit.select($"code", $"embedding").as[(String, Array[Float])].collect() ++
-      dict.pv.select($"code", $"embedding").as[(String, Array[Float])].collect() ++
-      dict.cde.select($"code", $"embedding").as[(String, Array[Float])].collect()
-    val bcVecs = spark.sparkContext.broadcast(
-      dictVecs.sortBy(_._1).map { case (c, v) => (c, l2norm(v)) })
+    //     Neo4j db.index.vector.queryNodes; per-row top-k inside
+    //     flatMap, no shuffle, no materialized cross join. Runs on the
+    //     whole residue (not anti-joined with s4: the priority window
+    //     below prefers stage 4 anyway, and skipping the anti-join
+    //     saves a shuffle). ---
+    val bcVecs = prepared.vecs
     val k = semanticK
     val minS = semanticMin
-    val s5 = unmatched45
+    val s5 = unmatched
       .select($"conv_id", $"turn_idx", $"begin", $"end", $"surface", $"norm")
       .as[(String, Int, Int, Int, String, String)]
       .flatMap { case (cid, ti, b, e, surf, norm) =>
@@ -130,11 +143,13 @@ object MatchLadder {
       }
       .toDF("conv_id", "turn_idx", "begin", "end", "surface", "code", "stage", "score")
 
-    // --- priority selection: one winner per mention ---
-    val all = s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
+    // --- priority selection over the residue only ---
     val w = Window.partitionBy(mentionKey.map(col): _*)
       .orderBy($"stage".asc, $"score".desc, $"code".asc)
-    all.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    val residueWinners = s4.unionByName(s5)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+
+    exactLinks.unionByName(residueWinners)
       .withColumn("confidence",
         when($"stage" <= 3, lit("high"))
           .when($"score" > 0.95, lit("high"))
@@ -143,18 +158,6 @@ object MatchLadder {
       .select($"conv_id", $"turn_idx", $"begin", $"end", $"surface",
         $"code", $"stage", $"score", $"confidence")
       .as[Link]
-  }
-
-  private def mentionCols(m: DataFrame): Seq[org.apache.spark.sql.Column] =
-    (mentionKey :+ "surface").map(m.apply)
-
-  private def l2norm(v: Array[Float]): Array[Float] = {
-    var n = 0.0; var i = 0
-    while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
-    if (n == 0.0) v
-    else { val inv = (1.0 / math.sqrt(n)).toFloat
-      val out = new Array[Float](v.length)
-      i = 0; while (i < v.length) { out(i) = v(i) * inv; i += 1 }; out }
   }
 }
 

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.Fixtures
+
+/** Physical-plan assertions — "is this the plan we'd want at 100 TB"
+  * encoded as tests: broadcasts where expected, filters/projections
+  * pushed into the parquet scan, partial aggregation, whole-stage
+  * codegen on the hot path, no shuffle on bucketed co-located joins.
+  */
+class PlanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("exact lookup pushes filter and prunes columns at the scan") {
+    val p = plan("p1_exact_code_lookup")
+    assert(p.contains("PushedFilters: [IsNotNull(p_partkey), EqualTo(p_partkey,42)]"), p)
+    assert(p.contains("ReadSchema") &&
+      p.contains("p_partkey") && !p.contains("p_retailprice"), p)
+  }
+
+  test("small-dim joins broadcast; no sort-merge on dimension tables") {
+    val p = plan("j2_join_2hop")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("group agg is partial + final (map-side combine) with codegen") {
+    val df = SparkEntry.queries("a1_group_agg")(spark, sf)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // whole-stage codegen spans print as "*(n) " in plan trees
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("ladder stages join via broadcast; transcript side never sort-merges") {
+    val dict = Fixtures.dict(spark)
+    val turns = Fixtures.transcripts(spark, 20, 4)
+    val ac = dict.broadcastAutomaton(spark)
+    val mentions = graft.extract.MentionDetect.detect(turns, ac)
+    val links = graft.link.MatchLadder.link(spark, mentions, dict)
+    val p = links.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "dictionary joins must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no sort-merge join anywhere in the ladder:\n" + p.take(4000))
+    assert(!p.contains("CartesianProduct"), "no cartesian products")
+  }
+
+  test("top-k limit 1 compiles to TakeOrderedAndProject (no full sort)") {
+    val p = plan("w4_limit1")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("bucketed co-located join needs no shuffle exchange") {
+    // default warehouse dir (spark-warehouse/, gitignored) — the
+    // warehouse conf is static and cannot change post-session
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_b")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_b")
+    val joined = spark.table("li_b").join(spark.table("o_b"),
+      $"l_orderkey" === $"o_orderkey")
+    // disable broadcast so the co-location is what saves the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed join must not shuffle:\n" + p.take(3000))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+
+  test("salted aggregation equals direct groupBy (skew path correctness)") {
+    val t = Seq.tabulate(500)(i => (s"conv-${i % 7}", i, s"text $i" * (i % 5 + 1)))
+      .toDF("conv_id", "turn_idx", "text")
+    val direct = t.groupBy($"conv_id")
+      .agg(count(lit(1)).as("n_turns"), sum(length($"text")).as("total_chars"))
+      .orderBy($"conv_id").collect()
+    val salted = graft.ops.Skew.saltedAgg(t, "conv_id", 8,
+      Seq("conv_id", "turn_idx"),
+      Seq(count(lit(1)).as("pc"), sum(length($"text")).as("ps")),
+      Seq(sum($"pc").as("n_turns"), sum($"ps").as("total_chars")))
+      .orderBy($"conv_id").collect()
+    assert(direct.sameElements(salted))
+  }
+}
