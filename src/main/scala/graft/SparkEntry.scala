@@ -483,6 +483,37 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // synonym lookups (J1/J2) over the fixture dictionary, preserving
+    // the reference's case-sensitivity asymmetry (rows-only check;
+    // semantics pinned in SynonymLookupSpec)
+    "kg_synonym_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val dict = graft.fixtures.Fixtures.dict(s)
+      val byCode = graft.link.SynonymLookup.byCode(s, dict,
+        Seq("C4878", "C3117", "C9305").toDF("code"))
+        .select(col("code").as("input"), col("synonym"))
+      val byPv = graft.link.SynonymLookup.byPvTerm(s, dict,
+        Seq("Stage IV", "Female", "stage iv" /* case miss */).toDF("pv_term"))
+        .select(col("pv_term").as("input"), col("synonym"))
+      byCode.unionByName(byPv).orderBy(col("input"), col("synonym"))
+    }),
+
+    // OC-context rerank (J5 de-looped + F5 weighted combine;
+    // rows-only — semantics pinned in CanonRerankSpec)
+    "kg_rerank_oc" -> ((s, dir) => {
+      import s.implicits._
+      val dict = graft.fixtures.Fixtures.dict(s)
+      val qv = graft.fixtures.Fixtures.embed("tumor stage")
+      val candidates = Seq(
+        ("q_stage", "CDE2001", 0.92, qv), ("q_stage", "CDE2007", 0.85, qv),
+        ("q_stage", "CDE2008", 0.80, qv))
+        .toDF("query_id", "cde_code", "score", "query_vec")
+      graft.link.Rerank.rerankWithOcContext(s, candidates, dict)
+        .select(col("query_id"), col("cde_code"), round(col("score"), 6).as("score"),
+          round(col("oc_score"), 6).as("oc_score"),
+          round(col("combined_score"), 6).as("combined_score"))
+    }),
+
     // full pipeline end-to-end on the seeded fixture corpus (scaled by
     // sf dir name; rows-only check — semantics covered by sbt test)
     "kg_pipeline_full" -> ((s, dir) => {
@@ -514,8 +545,14 @@ object SparkEntry {
       Dedup.simHash(T(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
     }),
 
+    // exact verify-side of near-dup detection. Bounded demo subset:
+    // this synthetic corpus shares one tiny vocabulary, so the token
+    // inverted index degenerates to all-pairs; at scale the candidate
+    // set comes from MinHash-LSH (dedup_minhash_lsh) and this exact
+    // Jaccard runs only on those candidates (LSH-then-verify).
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccard(T(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+      Dedup.ngramJaccard(T(s, dir, "documents").filter(col("doc_id") < 600),
+        "doc_id", "text", threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
@@ -830,7 +867,7 @@ object SparkEntry {
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS ntok,
         |   unnest(list_distinct(string_split(
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS token
-        |  FROM documents)
+        |  FROM documents WHERE doc_id < 600)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         | round(CAST(count(*) AS DOUBLE) / (a.ntok + b.ntok - count(*)), 4) AS jaccard
         |FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
