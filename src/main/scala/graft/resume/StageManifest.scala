@@ -40,10 +40,11 @@ final class StageManifest(spark: SparkSession, dir: String) {
       val txt = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
       // minimal parser for the fixed shape we write below
       val entryRe =
-        """\{"stage":"([^"]+)","rows":(\d+),"partitions":(\d+),"fingerprint":"([^"]+)"\}""".r
+        """\{"stage":"([^"]+)","rows":(\d+),"partitions":(\d+),"fingerprint":"([^"]+)","buckets":\[([0-9,]*)\]\}""".r
       entryRe.findAllMatchIn(txt).foreach { g =>
+        val buckets = g.group(5).split(",").filter(_.nonEmpty).map(_.toInt).toSet
         m += g.group(1) -> StageManifest.Entry(g.group(1), g.group(2).toLong,
-          g.group(3).toInt, g.group(4))
+          g.group(3).toInt, g.group(4), buckets)
       }
     }
     m
@@ -51,7 +52,7 @@ final class StageManifest(spark: SparkSession, dir: String) {
 
   private def save(): Unit = {
     val json = entries.values.map(e =>
-      s"""{"stage":"${e.stage}","rows":${e.rows},"partitions":${e.partitions},"fingerprint":"${e.fingerprint}"}""")
+      s"""{"stage":"${e.stage}","rows":${e.rows},"partitions":${e.partitions},"fingerprint":"${e.fingerprint}","buckets":[${e.buckets.toSeq.sorted.mkString(",")}]}""")
       .mkString("[", ",", "]")
     Files.createDirectories(Paths.get(dir))
     val tmp = Paths.get(dir, "manifest.json.tmp")
@@ -86,10 +87,77 @@ final class StageManifest(spark: SparkSession, dir: String) {
       out
     }
   }
+
+  /** Per-partition lineage variant: the stage output is bucketed by a
+    * deterministic hash of `bucketKeyCols` into `nBuckets` directory
+    * partitions, and the manifest records WHICH buckets committed. A
+    * crashed run resumes by recomputing and writing ONLY the missing
+    * buckets (committed buckets are never rewritten). When the
+    * `compute` plan is expression-based — or its source table is
+    * bucketed on the same key — Catalyst additionally pushes the
+    * bucket predicate to the scan, pruning input-side work too;
+    * through opaque typed lambdas the recompute is filtered after the
+    * lambda (write amplification still avoided).
+    *
+    * Crash safety: each bucket lands via Spark's committer under
+    * `__bucket=k/`; the manifest is updated (atomic rename) only after
+    * the write succeeds; a crash between write and manifest update
+    * re-runs those buckets INTO the same directories via overwrite of
+    * exactly the missing dynamic partitions. */
+  def stageBuckets(name: String, fingerprint: String, nBuckets: Int,
+                   bucketKeyCols: Seq[String])(compute: => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = s"$dir/$name"
+    val prior = entries.get(name).filter(_.fingerprint == fingerprint)
+    val done = prior.map(_.buckets).getOrElse(Set.empty[Int])
+    val all = (0 until nBuckets).toSet
+    if (prior.isEmpty) {
+      // stale or absent -> full rebuild
+      entries.remove(name)
+      save()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    }
+    val missing = if (prior.isEmpty) all else all -- done
+    if (missing.nonEmpty) {
+      val df = compute
+      val bucketed = df.withColumn("__bucket",
+        pmod(xxhash64(bucketKeyCols.map(col): _*), lit(nBuckets)).cast("int"))
+      val todo = bucketed.filter(col("__bucket").isin(missing.toSeq: _*))
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try todo.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val out = spark.read.parquet(path)
+      entries += name -> StageManifest.Entry(name, out.count(),
+        out.rdd.getNumPartitions, fingerprint, all)
+      save()
+      out.drop("__bucket")
+    } else {
+      spark.read.parquet(path).drop("__bucket")
+    }
+  }
+
+  /** Test/ops hook: mark some buckets of a stage as NOT committed
+    * (simulates a crash after partial bucket commit). Deletes their
+    * data directories and shrinks the manifest record. */
+  def invalidateBuckets(name: String, buckets: Set[Int]): Unit = {
+    entries.get(name).foreach { e =>
+      buckets.foreach { b =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$dir/$name/__bucket=$b"))
+      }
+      entries += name -> e.copy(buckets = e.buckets -- buckets)
+      save()
+    }
+  }
 }
 
 object StageManifest {
-  final case class Entry(stage: String, rows: Long, partitions: Int, fingerprint: String)
+  final case class Entry(stage: String, rows: Long, partitions: Int,
+                         fingerprint: String, buckets: Set[Int] = Set.empty)
 
   /** Order-insensitive fingerprint combinator. */
   def fp(parts: String*): String =

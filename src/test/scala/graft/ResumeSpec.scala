@@ -37,6 +37,46 @@ class ResumeSpec extends SparkTestBase {
       .sameElements(triples1))
   }
 
+  test("bucket-level lineage: only missing buckets recomputed and rewritten") {
+    val dir = Files.createTempDirectory("graft-buckets").toString
+    val man = new graft.resume.StageManifest(spark, dir)
+    val dict = Fixtures.dict(spark)
+    val turns = Fixtures.transcripts(spark, 30, 6)
+    def compute = {
+      val ac = dict.broadcastAutomaton(spark)
+      graft.extract.MentionDetect.detect(turns, ac).toDF()
+    }
+    val full = man.stageBuckets("mentions", "fp1", 8, Seq("conv_id"))(compute)
+      .orderBy("conv_id", "turn_idx", "begin").collect()
+
+    // record per-bucket file modtimes
+    def bucketFiles(b: Int) = {
+      val d = new java.io.File(s"$dir/mentions/__bucket=$b")
+      if (d.exists()) d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+      else Map.empty[String, Long]
+    }
+    val beforeKept = bucketFiles(5)
+    assert(beforeKept.nonEmpty)
+
+    // simulate crash: buckets 0-2 never committed
+    man.invalidateBuckets("mentions", Set(0, 1, 2))
+    assert(!new java.io.File(s"$dir/mentions/__bucket=1").exists())
+
+    val resumed = man.stageBuckets("mentions", "fp1", 8, Seq("conv_id"))(compute)
+      .orderBy("conv_id", "turn_idx", "begin").collect()
+    assert(resumed.sameElements(full), "resume must reproduce the full output")
+    // committed buckets untouched (same files, same modtimes)
+    assert(bucketFiles(5) == beforeKept, "committed bucket must not be rewritten")
+    // and the missing ones exist again
+    assert(new java.io.File(s"$dir/mentions/__bucket=1").exists())
+
+    // fully-committed stage reloads without any write
+    val third = man.stageBuckets("mentions", "fp1", 8, Seq("conv_id"))(compute)
+    assert(third.count() == full.length)
+    assert(bucketFiles(5) == beforeKept)
+  }
+
   test("manifest records per-stage rows + partitions (metrics)") {
     val dir = Files.createTempDirectory("graft-resume2").toString
     val dict = Fixtures.dict(spark)
