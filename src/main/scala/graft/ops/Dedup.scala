@@ -37,7 +37,7 @@ object Dedup {
     val sig = docs.select(col(idCol).as("id"),
       Functions.minhash_sig(col(textCol), numHashes).as("sig"))
     // band key = (band index, hash of the band's rows)
-    val banded = sig.select($colId, col("sig"),
+    val banded = sig.select(col("id"), col("sig"),
         posexplode(bandArray(col("sig"), bands, rowsPerBand)).as(Seq("band", "band_sig")))
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("band"), col("band_sig"))
@@ -51,8 +51,6 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
-
-  private val $colId = col("id")
 
   /** Split a signature array into `bands` arrays of `rows` elements,
     * hashing each band to one long (xxhash64 over the slice). */
