@@ -2,6 +2,7 @@ package graft.dict
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.length
 
 /** Dictionary artifacts prepared ONCE and reused across pipeline
   * runs: the broadcast automaton, the cascade resolution table, the
@@ -16,10 +17,18 @@ final case class PreparedDict(
     automaton: Broadcast[AhoCorasick],
     resolution: DataFrame,                       // (norm, code, stage) winner
     fuzzySurfaces: DataFrame,                    // (norm, code) for token index
-    vecs: Broadcast[Array[(String, Array[Float])]], // L2-normalized
+    vecs: Broadcast[Array[(String, Array[Float])]], // L2-normalized, terms >= MinCosineLen chars
+    surfaces: Broadcast[Array[(String, String)]],   // (norm, code) for edit-distance scan
     canonical: DataFrame)                        // (code, canonical)
 
 object PreparedDict {
+
+  /** Terms shorter than this get NO cosine matching: <6 chars yield
+    * 1-3 char-trigram features, where a single hash collision reads
+    * as cosine 0.5-1.0 — short surfaces are matched exactly or by
+    * bounded edit distance instead (measured: every spurious semantic
+    * link in the fixture corpus came from this collision class). */
+  val MinCosineLen = 6
 
   def prepare(spark: SparkSession, dict: ConceptDict): PreparedDict = {
     import spark.implicits._
@@ -32,15 +41,20 @@ object PreparedDict {
         graft.Functions.norm_text($"term").as("norm"), $"code"))
       .distinct().cache()
     fuzzy.count()
-    val dictVecs = dict.ncit.select($"code", $"embedding")
-      .unionByName(dict.pv.select($"code", $"embedding"))
-      .unionByName(dict.cde.select($"code", $"embedding"))
+    val dictVecs = dict.ncit.select(graft.Functions.norm_text($"term").as("norm"), $"code", $"embedding")
+      .unionByName(dict.pv.select(graft.Functions.norm_text($"term").as("norm"), $"code", $"embedding"))
+      .unionByName(dict.cde.select(graft.Functions.norm_text($"term").as("norm"), $"code", $"embedding"))
+      .filter(length($"norm") >= MinCosineLen)
+      .select($"code", $"embedding")
       .as[(String, Array[Float])].collect()
       .sortBy(_._1).map { case (c, v) => (c, l2(v)) }
     val bcVecs = spark.sparkContext.broadcast(dictVecs)
+    // all linkable surfaces for the bounded-edit-distance scan
+    val surfArr = fuzzy.as[(String, String)].collect().sortBy(identity)
+    val bcSurf = spark.sparkContext.broadcast(surfArr)
     val canonical = graft.canon.Canonicalizer.canonicalMap(spark, dict).cache()
     canonical.count()
-    PreparedDict(dict, ac, resolution, fuzzy, bcVecs, canonical)
+    PreparedDict(dict, ac, resolution, fuzzy, bcVecs, bcSurf, canonical)
   }
 
   private def l2(v: Array[Float]): Array[Float] = {

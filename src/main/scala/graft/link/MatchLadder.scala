@@ -123,23 +123,49 @@ object MatchLadder {
       .select((mentionKey.map(col) :+ $"surface" :+ $"code" :+
         lit(4).as("stage") :+ $"score"): _*)
 
-    // --- stage 5: semantic KNN (W1) — broadcast brute-force replacing
-    //     Neo4j db.index.vector.queryNodes; per-row top-k inside
-    //     flatMap, no shuffle, no materialized cross join. Runs on the
-    //     whole residue (not anti-joined with s4: the priority window
-    //     below prefers stage 4 anyway, and skipping the anti-join
-    //     saves a shuffle). ---
+    // --- stage 5: semantic + surface-similarity KNN (W1) — broadcast
+    //     brute-force replacing Neo4j db.index.vector.queryNodes;
+    //     per-row top-k inside flatMap, no shuffle, no materialized
+    //     cross join. Runs on the whole residue (not anti-joined with
+    //     s4: the priority window below prefers stage 4 anyway, and
+    //     skipping the anti-join saves a shuffle).
+    //     Hybrid score per code = max(trigram cosine, bounded-edit
+    //     similarity): cosine carries longer surfaces, edit distance
+    //     carries short ones where trigram signals are unstable (both
+    //     sides gated at MinCosineLen for the cosine path). ---
     val bcVecs = prepared.vecs
+    val bcSurf = prepared.surfaces
     val k = semanticK
     val minS = semanticMin
+    val minCosLen = graft.dict.PreparedDict.MinCosineLen
     val s5 = unmatched
       .select($"conv_id", $"turn_idx", $"begin", $"end", $"surface", $"norm")
       .as[(String, Int, Int, Int, String, String)]
       .flatMap { case (cid, ti, b, e, surf, norm) =>
-        val q = Vectorizer.vectorizeChar(norm)
-        BroadcastKnn.topK(q, bcVecs.value, k, minS).map { case (code, score) =>
-          (cid, ti, b, e, surf, code, 5, score)
+        val best = scala.collection.mutable.HashMap.empty[String, Double]
+        if (norm.length >= minCosLen) {
+          val q = Vectorizer.vectorizeChar(norm)
+          BroadcastKnn.topK(q, bcVecs.value, k, minS).foreach { case (code, score) =>
+            val cur = best.getOrElse(code, 0.0)
+            if (score > cur) best(code) = score
+          }
         }
+        // bounded edit distance over all surfaces (cutoff 2)
+        val surfaces = bcSurf.value
+        var i = 0
+        while (i < surfaces.length) {
+          val (snorm, code) = surfaces(i)
+          if (math.abs(snorm.length - norm.length) <= 2) {
+            val d = graft.functions.EditDistance.bounded(norm, snorm, 2)
+            if (d > 0) { // d == 0 impossible: exact surfaces resolved at stages 1-3
+              val sim = 1.0 - d.toDouble / math.max(norm.length, snorm.length)
+              if (sim >= minS && sim > best.getOrElse(code, 0.0)) best(code) = sim
+            }
+          }
+          i += 1
+        }
+        best.toSeq.sortBy { case (c, s) => (-s, c) }.take(k)
+          .map { case (code, score) => (cid, ti, b, e, surf, code, 5, score) }
       }
       .toDF("conv_id", "turn_idx", "begin", "end", "surface", "code", "stage", "score")
 
