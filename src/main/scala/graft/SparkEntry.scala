@@ -583,6 +583,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.ivfTopK(s, e, k = 3)
+        .select(col("query_id"), col("rank"), col("id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ======== training-data ops: text analysis ========
 
     "text_langid" -> ((s, dir) => {

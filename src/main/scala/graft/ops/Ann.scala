@@ -97,6 +97,57 @@ object Ann {
       .select("query_id", "rank", "id", "cos")
   }
 
+  /** IVF (inverted-file) ANN: vectors are assigned to their nearest
+    * of `nCentroids` coarse centroids (one shuffle keyed by centroid
+    * id — the "inverted lists"); a query probes only its `nProbe`
+    * closest centroids' lists. The scale path when the corpus is too
+    * large to broadcast AND LSH recall is insufficient: list sizes
+    * are corpus/nCentroids on average, so compared pairs shrink by
+    * ~nCentroids/nProbe.
+    *
+    * Centroids are picked deterministically (every corpus/k-th vector
+    * of the id-sorted corpus — a k-means++ seeding stand-in; a real
+    * deployment would run a few Lloyd iterations, which changes
+    * assignment quality, not the operator's shape). */
+  def ivfTopK(spark: SparkSession, vecs: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val corpus = vecs.select(col("id").cast("string"), col("vec"))
+      .as[(String, Array[Float])]
+    // deterministic coarse centroids (broadcast-sized by construction)
+    val sortedIds = corpus.select(col("id")).as[String].collect().sorted
+    val step = math.max(1, sortedIds.length / nCentroids)
+    val centroidIds = sortedIds.zipWithIndex
+      .filter { case (_, i) => i % step == 0 }.take(nCentroids).map(_._1).toSet
+    val centroids: Array[(Int, Array[Float])] = corpus
+      .filter(r => centroidIds.contains(r._1)).collect().sortBy(_._1)
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+    val bcCent = spark.sparkContext.broadcast(centroids)
+
+    def nearestCentroids(v: Array[Float], n: Int): Seq[Int] =
+      bcCent.value.map { case (cid, cv) =>
+        (cid, graft.functions.VectorMath.cosine(v, cv))
+      }.sortBy { case (cid, s) => (-s, cid) }.take(n).map(_._1).toSeq
+
+    // inverted lists: each vector in exactly its nearest centroid's list
+    val assigned = corpus.map { case (id, v) =>
+      (nearestCentroids(v, 1).head, id, v)
+    }.toDF("centroid", "id", "vec")
+    // queries probe nProbe lists
+    val probes = corpus.flatMap { case (qid, qv) =>
+      nearestCentroids(qv, nProbe).map(c => (c, qid, qv))
+    }.toDF("centroid", "query_id", "qvec")
+    val pairs = probes.join(assigned, "centroid")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        graft.Functions.cosine_sim(col("qvec"), col("vec")).as("cos"))
+      .groupBy("query_id", "id").agg(max("cos").as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "cos")
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (fixed seed). */
   private def hyperplanes(tables: Int, nBits: Int, dim: Int): Array[Array[Array[Float]]] =
     Array.tabulate(tables, nBits, dim) { (t, b, d) =>

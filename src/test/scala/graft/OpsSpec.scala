@@ -72,6 +72,21 @@ class OpsSpec extends SparkTestBase {
     assert(recall > 0.8, s"lsh recall $recall")
   }
 
+  test("ivf ann: high recall vs brute force on clustered vectors") {
+    val n = 60
+    val vecs = (0 until n).map { i =>
+      val base = graft.functions.Vectorizer.vectorizeChar(s"cluster-${i % 5}-anchor-text")
+      val v = base.clone(); v(i % 64) += 0.08f
+      (i.toString, v)
+    }.toDF("id", "vec")
+    val exact = Ann.bruteForceTopK(spark, vecs, vecs, k = 3)
+      .select("query_id", "id").as[(String, String)].collect().toSet
+    val ivf = Ann.ivfTopK(spark, vecs, k = 3, nCentroids = 10, nProbe = 3)
+      .select("query_id", "id").as[(String, String)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall > 0.85, s"ivf recall $recall")
+  }
+
   test("language id picks stopword-dominant language, und for no signal") {
     val out = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
       .as[(Long, String)].collect().toMap
