@@ -55,20 +55,34 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
-    // per-query timings on the driver testdata
+    // per-query timings on the driver testdata. A failing query is
+    // reported as time -1 and listed in queries_failed — NEVER
+    // silently benched as a fast green number.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+        (name, -1.0, Some(e.getClass.getSimpleName))
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(
+    val failed = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val json =
       s"""{"metric":"kg_turns_per_sec","value":${f"$turnsPerSec%.1f"},"unit":"turns/sec",""" +
       s""""pipeline_turns":$nTurns,"pipeline_sec":${f"$pipeSec%.3f"},"pipeline_triples":$nTriples,""" +
       s""""queries_total_sec":${f"$total%.3f"},"system_load_avg":${f"$loadAvg%.1f"},""" +
-      s""""queries":$qs,"sf":"$sfDir"}""")
+      s""""queries_failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // also land the line in a file: sbt's [info] log prefix on stdout
+    // breaks line-oriented JSON parsers downstream
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.stop()
   }
 }

@@ -61,6 +61,112 @@ object SparkEntry {
   private val kgTermsSqlValues: String =
     kgTerms.map { case (c, t) => s"('$c','$t')" }.mkString(", ")
 
+  /** Shared by the kg_semantic_definition query AND its oracle. */
+  private val semanticDefQueries: Seq[(String, String)] = Seq(
+    ("q1", "persistently high blood pressure"),
+    ("q2", "malignant tumor found in lung tissue"),
+    ("q3", "indicator of receptor expression status"))
+
+  /** Shared by kg_term_search_typed + oracle. Pre-normalized (lower,
+    * single-spaced) so query text == norm_text(query text). */
+  private val termSearchQueries: Seq[(String, String)] = Seq(
+    ("q1", "tumor stage category"),
+    ("q2", "smoking status"))
+
+  /** Fixture dictionary definitions as (node_type, code, term,
+    * defVector) SQL VALUES — the DuckDB twin of PreparedDict.defs. */
+  private lazy val defRowsSqlValues: String = {
+    val ncit = graft.fixtures.Fixtures.ncitRows.collect {
+      case (c, t, d, _) if d != null => ("NCIT", c, t, d) }
+    val cde = graft.fixtures.Fixtures.cdeRows.map { case (c, t, _) => ("CDE", c, t, t) }
+    (ncit ++ cde).map { case (ty, c, t, d) =>
+      s"('$ty','${sqlQuote(c)}','${sqlQuote(t)}'," +
+        s"${vecSql(graft.functions.Vectorizer.vectorizeChar(d))})"
+    }.mkString(",\n  ")
+  }
+
+  private lazy val semanticDefQuerySqlValues: String =
+    semanticDefQueries.map { case (id, d) =>
+      s"('$id',${vecSql(graft.functions.Vectorizer.vectorizeChar(d))})"
+    }.mkString(",\n  ")
+
+  /** Fixture surface table (norm, code, ctype) as SQL VALUES — the
+    * DuckDB twin of PreparedDict.fuzzySurfaces (same construction:
+    * NCIT/PV/CDE preferred terms + synonyms, normalized, distinct). */
+  private lazy val surfaceSqlValues: String = {
+    import graft.fixtures.Fixtures._
+    import graft.functions.Hashing.norm
+    val rows =
+      ncitRows.map { case (c, t, _, _) => (norm(t), c, "NCIT") } ++
+      pvRows.map { case (c, t, _) => (norm(t), c, "PV") } ++
+      cdeRows.map { case (c, t, _) => (norm(t), c, "CDE") } ++
+      ncitRows.flatMap { case (c, _, _, ss) => ss.map(s => (norm(s), c, "SYN")) }
+    rows.distinct.map { case (n, c, ty) =>
+      s"('${sqlQuote(n)}','${sqlQuote(c)}','$ty')" }.mkString(",\n  ")
+  }
+
+  /** JVM twins of PreparedDict's N-surfaces + maxIdf over the fixture
+    * dict (needed as literals in the term-search oracle). */
+  private lazy val fixtureNSurf: Long = {
+    import graft.fixtures.Fixtures._
+    import graft.functions.Hashing.norm
+    (ncitRows.map(r => norm(r._2)) ++ pvRows.map(r => norm(r._2)) ++
+      cdeRows.map(r => norm(r._2)) ++ ncitRows.flatMap(_._4).map(norm))
+      .distinct.size.toLong
+  }
+  private lazy val fixtureMaxIdf: Double =
+    math.floor(math.log1p(fixtureNSurf.toDouble) * 1048576 + 0.5) / 1048576
+
+  /** Shared by kg_rerank_oc + oracle: (query_id, cde_code|null, base
+    * score). Exercises OC present / CDE-without-OC / no-CDE rows. */
+  private val rerankCandidates: Seq[(String, String, Double)] = Seq(
+    ("q_stage", "CDE2001", 0.92), ("q_stage", "CDE2007", 0.85),
+    ("q_stage", "CDE2008", 0.80), ("q_stage", null, 0.75))
+
+  /** cde -> (oc term, oc embedding) VALUES — DuckDB twin of
+    * Rerank.cdeToOc over the fixture dict (one OC per CDE there). */
+  private lazy val cdeOcSqlValues: String =
+    graft.fixtures.Fixtures.decOc.map { case (cde, _, _, ocTerm) =>
+      s"('$cde','${sqlQuote(ocTerm)}',${vecSql(graft.fixtures.Fixtures.embed(ocTerm))})"
+    }.mkString(",\n  ")
+
+  /** Fixture synonym + PV edges as SQL VALUES (kg_synonym_lookup oracle). */
+  private lazy val synonymSqlValues: String =
+    graft.fixtures.Fixtures.ncitRows.flatMap { case (c, _, _, ss) =>
+      ss.map(s => s"('$c','${sqlQuote(s)}')") }.mkString(", ")
+  private lazy val pvEdgeSqlValues: String =
+    graft.fixtures.Fixtures.pvRows.map { case (c, t, n) =>
+      s"('$c','${sqlQuote(t)}','$n')" }.mkString(", ")
+
+  /** One PreparedDict per session for the fixture-dictionary queries:
+    * preparation is the amortized-once production cost and must not be
+    * re-paid per catalog query. */
+  private val preparedCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, graft.dict.PreparedDict]()
+  private def preparedFixture(s: SparkSession): graft.dict.PreparedDict =
+    preparedCache.computeIfAbsent(s,
+      sess => graft.dict.PreparedDict.prepare(sess, graft.fixtures.Fixtures.dict(sess)))
+
+  private def sqlQuote(x: String): String = x.replace("'", "''")
+
+  /** Render a float vector as a SQL list of STRING literals. Elements
+    * are printed via Double.toString of the WIDENED float (shortest
+    * decimal that round-trips to that double); [[duckCosine]] CASTs
+    * every element AS DOUBLE, and DuckDB's string->double parse is
+    * correctly rounded — so the oracle computes on bit-identical
+    * float64 values. (A bare numeric list would be inferred DECIMAL,
+    * whose int*10^-scale double conversion can be 1 ulp off.) */
+  private def vecSql(v: Array[Float]): String =
+    v.map(x => "'" + x.toDouble.toString + "'").mkString("[", ", ", "]")
+
+  /** Exact double literal via string parse (see [[vecSql]]). */
+  private def dblSql(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
+
+  /** HALF_UP rounding identical in both engines (Spark round is
+    * HALF_UP, DuckDB's is half-even on exact halfway doubles). */
+  private def floorRound(expr: String, scale: String): String =
+    s"floor(($expr) * $scale + 0.5) / $scale"
+
   /** DuckDB cosine in full DOUBLE precision (list_cosine_similarity
     * computes in float32 and diverges from Spark at ~1e-7; this
     * expression is bit-identical to [[Functions.cosine_sim]]). */
@@ -270,14 +376,32 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rank"))
     }),
 
-    // W2: full-text style relevance top-k — token-overlap score of a
-    // fixed query against documents (reference exact_match.py:122-180)
+    // W2: full-text relevance top-k — IDF-WEIGHTED token score of a
+    // fixed query against documents (the reference's Lucene BM25
+    // shape, exact_match.py:143-154: rare query tokens dominate).
+    // idf(t) = ln(N/df(t)) over the corpus, quantized to 2^-20 dyadic
+    // steps and summed in a FIXED token order so the score is
+    // bit-identical across engines and partitionings.
     "w2_fulltext_topk" -> ((s, dir) => {
       val qTokens = Seq("spark", "join", "vector")
-      val score = qTokens.map(t =>
-        when(array_contains(split(col("text"), " "), t), 1).otherwise(0))
-        .reduce((a: Column, b: Column) => a + b)
-      T(s, dir, "documents").withColumn("score", score)
+      val docs = T(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("token"))
+        .filter(col("token").isin(qTokens: _*))
+      val dfTab = toks.groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val Q = (1 << 20).toDouble
+      val weighted = toks.join(broadcast(dfTab), "token").crossJoin(broadcast(nDocs))
+        .withColumn("idf",
+          floor(log(col("n_docs").cast("double") / col("df")) * Q + 0.5) / Q)
+      val perTokenW = qTokens.zipWithIndex.map { case (t, i) =>
+        max(when(col("token") === t, col("idf"))).as(s"w$i") }
+      val agged = weighted.groupBy(col("doc_id"))
+        .agg(perTokenW.head, perTokenW.tail: _*)
+      agged
+        .withColumn("score",
+          floor((coalesce(col("w0"), lit(0.0)) + coalesce(col("w1"), lit(0.0))
+            + coalesce(col("w2"), lit(0.0))) * 1e6 + 0.5) / 1e6)
         .filter(col("score") > 0)
         .orderBy(col("score").desc, col("doc_id").asc).limit(5)
         .select(col("doc_id"), col("score"))
@@ -452,7 +576,9 @@ object SparkEntry {
         .orderBy(col("conv_id"), col("turn_idx"), col("code"))
     }),
 
-    // triple extraction: (turn mention, LINKED_TO, code) edges
+    // triple extraction: (turn, LINKED_TO, code) edges — distinct per
+    // (turn, code) so the subject key is SQL-derivable (char offsets
+    // are pinned separately by kg_mention_detect + PipelineSpec)
     "kg_triple_extract" -> ((s, dir) => {
       import s.implicits._
       val ac = s.sparkContext.broadcast(
@@ -463,11 +589,11 @@ object SparkEntry {
         .as[(String, Int, String)]
         .flatMap { case (cid, ti, text) =>
           ac.value.findMatches(text).map { case (b, e) =>
-            (cid, ti, b, text.substring(b, e).toLowerCase)
+            (cid, ti, text.substring(b, e).toLowerCase)
           }
-        }.toDF("conv_id", "turn_idx", "begin", "term")
+        }.toDF("conv_id", "turn_idx", "term").distinct()
         .join(broadcast(dictDf), "term")
-        .select(concat_ws("#", col("conv_id"), col("turn_idx"), col("begin")).as("subj"),
+        .select(concat_ws("#", col("conv_id"), col("turn_idx")).as("subj"),
           lit("LINKED_TO").as("pred"), col("code").as("obj"))
         .orderBy(col("subj"), col("obj"))
     }),
@@ -498,20 +624,85 @@ object SparkEntry {
       byCode.unionByName(byPv).orderBy(col("input"), col("synonym"))
     }),
 
-    // OC-context rerank (J5 de-looped + F5 weighted combine;
-    // rows-only — semantics pinned in CanonRerankSpec)
+    // OC-context rerank (J5 de-looped + F5 weighted combine) over the
+    // fixture dict: exercises OC present (CDE2001/2007), CDE with no
+    // OC path (CDE2008 -> 0.7*score) and NO cde at all (raw-score
+    // passthrough, reference semantic_retrievers.py:213-219)
     "kg_rerank_oc" -> ((s, dir) => {
       import s.implicits._
       val dict = graft.fixtures.Fixtures.dict(s)
       val qv = graft.fixtures.Fixtures.embed("tumor stage")
-      val candidates = Seq(
-        ("q_stage", "CDE2001", 0.92, qv), ("q_stage", "CDE2007", 0.85, qv),
-        ("q_stage", "CDE2008", 0.80, qv))
+      val candidates = rerankCandidates.map { case (q, c, sc) => (q, c, sc, qv) }
         .toDF("query_id", "cde_code", "score", "query_vec")
+      def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
       graft.link.Rerank.rerankWithOcContext(s, candidates, dict)
-        .select(col("query_id"), col("cde_code"), round(col("score"), 6).as("score"),
-          round(col("oc_score"), 6).as("oc_score"),
-          round(col("combined_score"), 6).as("combined_score"))
+        .select(col("query_id"), col("cde_code"), r6(col("score")).as("score"),
+          r6(col("oc_score")).as("oc_score"),
+          r6(col("combined_score")).as("combined_score"))
+        .orderBy(col("combined_score").desc, col("cde_code").asc_nulls_first)
+    }),
+
+    // definition-embedding semantic search (reference
+    // semantic_retrievers.py:129-205: cdeIndex + ncitIndex over
+    // node.definition): three free-text descriptions, top-3 per node
+    // type; full double-cosine oracle over the fixture definitions
+    "kg_semantic_definition" -> ((s, dir) => {
+      import s.implicits._
+      val prepared = preparedFixture(s)
+      val q = semanticDefQueries.toDF("query_id", "description")
+      val ncit = graft.link.DefinitionSearch.findNcitByDefinition(s, q, prepared, k = 3)
+        .withColumn("node_type", lit("NCIT"))
+      val cde = graft.link.DefinitionSearch.findCdeByDefinition(s, q, prepared, k = 3)
+        .withColumn("node_type", lit("CDE"))
+      ncit.unionByName(cde)
+        .select(col("query_id"), col("node_type"), col("rank"), col("code"),
+          col("term"), (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"))
+        .orderBy(col("query_id"), col("node_type"), col("rank"))
+    }),
+
+    // unified TYPE-FILTERED term search (reference ftTermIndex spans
+    // all labels with a `type` property filter,
+    // tests/test_neoretrievers.py:22-31) with IDF-weighted scores;
+    // full oracle recomputes the weighted Jaccard in SQL
+    "kg_term_search_typed" -> ((s, dir) => {
+      import s.implicits._
+      val prepared = preparedFixture(s)
+      val q = termSearchQueries.toDF("query_id", "text")
+      val cdeOnly = graft.link.MatchLadder.termSearch(s, q, prepared, k = 3,
+        typeFilter = Some("CDE")).withColumn("type_filter", lit("CDE"))
+      val any = graft.link.MatchLadder.termSearch(s, q, prepared, k = 3)
+        .withColumn("type_filter", lit("ANY"))
+      cdeOnly.unionByName(any)
+        .select(col("query_id"), col("type_filter"), col("rank"), col("code"),
+          col("surf_norm"), (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"))
+        .orderBy(col("query_id"), col("type_filter"), col("rank"))
+    }),
+
+    // IVF recall vs exact brute force at k=3 across the
+    // redundancy/probe dial — one row per config, all deterministic
+    // (fixed hash-seeded centroids => bit-stable at any parallelism),
+    // pinned in the oracle. The synthetic embeddings are ISOTROPIC
+    // (measured avg pairwise cosine ~0.0003 within AND across labels),
+    // the worst case for coarse quantization: high recall costs
+    // multi-assignment redundancy here; on clustered data the same
+    // operator reaches 0.85+ recall at fractional scan (OpsSpec).
+    "ann_ivf_recall" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val exact = Ann.bruteForceTopK(s, e, e, k = 3).select("query_id", "id")
+      val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n"))
+      ivfRecallConfigs.map { case (cfg, nc, np, nd) =>
+        val ivf = Ann.ivfTopK(s, e, k = 3, nCentroids = nc, nProbe = np,
+          nAssign = nd).select("query_id", "id")
+        val hits = exact.join(ivf, Seq("query_id", "id"))
+          .groupBy("query_id").agg(count(lit(1)).as("h"))
+        nExact.join(hits, Seq("query_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            (floor(sum(coalesce(col("h"), lit(0L))).cast("double")
+              / sum(col("n")) * 1e4 + 0.5) / 1e4).as("recall_at_3"))
+          .select(lit(cfg).as("config"), col("n_queries"), col("recall_at_3"))
+      }.reduce(_.unionByName(_)).orderBy(col("config"))
     }),
 
     // full pipeline end-to-end on the seeded fixture corpus (scaled by
@@ -742,12 +933,26 @@ object SparkEntry {
         | FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
 
     "w2_fulltext_topk" ->
-      """SELECT doc_id, score FROM (
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        | hit AS (SELECT doc_id, token FROM toks
+        |  WHERE token IN ('spark', 'join', 'vector')),
+        | df AS (SELECT token, count(*) AS df FROM hit GROUP BY token),
+        | n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        | w AS (SELECT h.doc_id, h.token,
+        |   floor(ln(n.n_docs / d.df) * 1048576 + 0.5) / 1048576 AS idf
+        |  FROM hit h JOIN df d USING (token) CROSS JOIN n),
+        | agged AS (SELECT doc_id,
+        |   max(CASE WHEN token = 'spark' THEN idf END) AS w0,
+        |   max(CASE WHEN token = 'join' THEN idf END) AS w1,
+        |   max(CASE WHEN token = 'vector' THEN idf END) AS w2
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc_id, score FROM (
         | SELECT doc_id,
-        |  (CASE WHEN list_contains(string_split(text, ' '), 'spark') THEN 1 ELSE 0 END +
-        |   CASE WHEN list_contains(string_split(text, ' '), 'join') THEN 1 ELSE 0 END +
-        |   CASE WHEN list_contains(string_split(text, ' '), 'vector') THEN 1 ELSE 0 END) AS score
-        | FROM documents) WHERE score > 0
+        |  floor((coalesce(w0, 0.0) + coalesce(w1, 0.0) + coalesce(w2, 0.0)) * 1e6 + 0.5)
+        |    / 1e6 AS score
+        | FROM agged) s WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 5""".stripMargin,
 
     "w4_limit1" ->
@@ -935,6 +1140,183 @@ object SparkEntry {
         | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
         |  ELSE 'video' END AS kind,
         | octet_length(encode(text)) AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "kg_triple_extract" ->
+      s"""WITH t AS ($transcriptsSql),
+         | d(code, term) AS (SELECT * FROM (VALUES $kgTermsSqlValues) v(code, term))
+         |SELECT conv_id || '#' || turn_idx AS subj, 'LINKED_TO' AS pred, code AS obj
+         |FROM t, d
+         |WHERE len(regexp_extract_all(lower(t.text), '\\b' || d.term || '\\b')) > 0
+         |ORDER BY subj, obj""".stripMargin,
+
+    "kg_synonym_lookup" ->
+      s"""WITH syn(code, term) AS (SELECT * FROM (VALUES $synonymSqlValues) v(code, term)),
+         | pv(pv_code, pv_term, ncit_code) AS (
+         |   SELECT * FROM (VALUES $pvEdgeSqlValues) v(pv_code, pv_term, ncit_code)),
+         | bycode AS (
+         |  SELECT upper(trim(c.code)) AS input, s.term AS synonym
+         |  FROM (VALUES ('C4878'), ('C3117'), ('C9305')) c(code)
+         |  JOIN syn s ON s.code = upper(trim(c.code))
+         |  WHERE s.term IS NOT NULL),
+         | bypv AS (
+         |  SELECT q.pv_term AS input, s.term AS synonym
+         |  FROM (VALUES ('Stage IV'), ('Female'), ('stage iv')) q(pv_term)
+         |  JOIN pv p ON p.pv_term = q.pv_term
+         |  JOIN syn s ON s.code = p.ncit_code
+         |  WHERE s.term IS NOT NULL)
+         |SELECT input, synonym FROM (
+         |  SELECT * FROM bycode UNION ALL SELECT * FROM bypv)
+         |ORDER BY input, synonym""".stripMargin,
+
+    "kg_rerank_oc" -> {
+      val candVals = rerankCandidates.map { case (q, c, sc) =>
+        val code = if (c == null) "NULL" else s"'$c'"
+        s"('$q', $code, ${dblSql(sc)})"
+      }.mkString(", ")
+      val qvec = vecSql(graft.fixtures.Fixtures.embed("tumor stage"))
+      s"""WITH oc(cde_code, oc_term, oc_vec) AS (
+         |  SELECT * FROM (VALUES $cdeOcSqlValues) v(cde_code, oc_term, oc_vec)),
+         | qv(qvec) AS (SELECT $qvec),
+         | cand(query_id, cde_code, score) AS (
+         |  SELECT * FROM (VALUES $candVals) v(query_id, cde_code, score)),
+         | j AS (
+         |  SELECT c.query_id, c.cde_code, c.score,
+         |   CASE WHEN o.oc_vec IS NULL THEN 0.0
+         |    ELSE ${duckCosine("qv.qvec", "o.oc_vec")} END AS oc_score
+         |  FROM cand c CROSS JOIN qv LEFT JOIN oc o ON c.cde_code = o.cde_code)
+         |SELECT query_id, cde_code,
+         | ${floorRound("score", "1e6")} AS score,
+         | ${floorRound("oc_score", "1e6")} AS oc_score,
+         | ${floorRound(
+              "CASE WHEN cde_code IS NULL OR cde_code = '' THEN score " +
+              "ELSE 0.7 * score + 0.3 * oc_score END", "1e6")} AS combined_score
+         |FROM j
+         |ORDER BY combined_score DESC, cde_code ASC NULLS FIRST""".stripMargin
+    },
+
+    "kg_semantic_definition" ->
+      s"""WITH defs(node_type, code, term, vec) AS (SELECT * FROM (VALUES
+         |  $defRowsSqlValues) v(node_type, code, term, vec)),
+         | q(query_id, qvec) AS (SELECT * FROM (VALUES
+         |  $semanticDefQuerySqlValues) v(query_id, qvec)),
+         | scored AS (
+         |  SELECT query_id, node_type, code, term,
+         |   ${duckCosine("qvec", "vec")} AS cos
+         |  FROM q CROSS JOIN defs),
+         | ranked AS (
+         |  SELECT query_id, node_type, code, term, cos,
+         |   row_number() OVER (PARTITION BY query_id, node_type
+         |     ORDER BY cos DESC, code) AS rank
+         |  FROM scored)
+         |SELECT query_id, node_type, rank, code, term,
+         | ${floorRound("cos", "1e6")} AS score
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, node_type, rank""".stripMargin,
+
+    "kg_term_search_typed" -> {
+      val qVals = termSearchQueries.map { case (id, t) => s"('$id','${sqlQuote(t)}')" }
+        .mkString(", ")
+      s"""WITH surf(norm, code, ctype) AS (SELECT * FROM (VALUES
+         |  $surfaceSqlValues) v(norm, code, ctype)),
+         | stok AS (
+         |  SELECT DISTINCT norm, code, ctype, unnest(string_split(norm, ' ')) AS token
+         |  FROM surf),
+         | idf AS (
+         |  SELECT token,
+         |   floor(ln(1 + CAST($fixtureNSurf AS DOUBLE) / count(*)) * 1048576 + 0.5)
+         |     / 1048576 AS idf
+         |  FROM (SELECT DISTINCT norm, token FROM stok) dt GROUP BY token),
+         | q(query_id, qnorm) AS (SELECT * FROM (VALUES $qVals) v(query_id, qnorm)),
+         | qtok AS (
+         |  SELECT query_id, unnest(list_distinct(string_split(qnorm, ' '))) AS token
+         |  FROM q),
+         | qw AS (
+         |  SELECT query_id, sum(coalesce(i.idf, ${dblSql(fixtureMaxIdf)})) AS q_w
+         |  FROM qtok LEFT JOIN idf i USING (token) GROUP BY query_id),
+         | branch AS (
+         |  SELECT 'CDE' AS type_filter, s.norm, s.code, s.token, i.idf
+         |  FROM stok s JOIN idf i USING (token) WHERE s.ctype = 'CDE'
+         |  UNION ALL
+         |  SELECT DISTINCT 'ANY' AS type_filter, s.norm, s.code, s.token, i.idf
+         |  FROM stok s JOIN idf i USING (token)),
+         | surfw AS (
+         |  SELECT type_filter, norm, code, sum(idf) AS surf_w
+         |  FROM branch GROUP BY type_filter, norm, code),
+         | ov AS (
+         |  SELECT qt.query_id, b.type_filter, b.code, b.norm, sum(b.idf) AS ov_w
+         |  FROM qtok qt JOIN branch b USING (token)
+         |  GROUP BY qt.query_id, b.type_filter, b.code, b.norm),
+         | scored AS (
+         |  SELECT o.query_id, o.type_filter, o.code, o.norm AS surf_norm,
+         |   o.ov_w / (w.q_w + s.surf_w - o.ov_w) AS score
+         |  FROM ov o
+         |  JOIN qw w USING (query_id)
+         |  JOIN surfw s ON s.type_filter = o.type_filter
+         |   AND s.code = o.code AND s.norm = o.norm),
+         | best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id, type_filter, code
+         |    ORDER BY score DESC, surf_norm) AS rs FROM scored),
+         | ranked AS (
+         |  SELECT query_id, type_filter, code, surf_norm, score,
+         |   row_number() OVER (PARTITION BY query_id, type_filter
+         |     ORDER BY score DESC, code) AS rank
+         |  FROM best WHERE rs = 1)
+         |SELECT query_id, type_filter, rank, code, surf_norm,
+         | ${floorRound("score", "1e6")} AS score
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, type_filter, rank""".stripMargin
+    },
+
+    "text_quality" -> {
+      val stopList = graft.ops.TextAnalysis.stopwords.values.flatten.toSeq.distinct
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH f AS (
+         | SELECT doc_id, text,
+         |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks,
+         |  length(text) AS n_chars
+         | FROM documents),
+         | g AS (
+         | SELECT doc_id, text, toks, n_chars, len(toks) AS n_words,
+         |  CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE)
+         |    / greatest(len(toks), 1) AS stop_ratio,
+         |  CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |    / greatest(n_chars, 1) AS punct_ratio,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
+         |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |    / greatest(len(toks), 1) AS mean_word_len
+         | FROM f)
+         |SELECT doc_id, n_words,
+         | ${floorRound("stop_ratio", "1e4")} AS stopword_ratio,
+         | ${floorRound("punct_ratio", "1e4")} AS punct_ratio,
+         | ${floorRound("distinct_ratio", "1e4")} AS distinct_ratio,
+         | ${floorRound("mean_word_len", "1e4")} AS mean_word_len,
+         | ${floorRound(
+            "least(1.0, CAST(n_words AS DOUBLE) / 50) * (1.0 - punct_ratio) * distinct_ratio",
+            "1e4")} AS quality_score
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    // deterministic regression pin: IVF is seeded by fixed id hashes,
+    // so its recall vs exact brute force is a constant of the sf0.01
+    // dataset — values measured once and pinned; any code change that
+    // shifts recall breaks the hash match (see OpsSpec for the
+    // threshold assertion on synthetic clusters)
+    "ann_ivf_recall" ->
+      s"""SELECT config, CAST(n_queries AS BIGINT) AS n_queries,
+         | CAST(recall AS DOUBLE) AS recall_at_3
+         |FROM (VALUES
+         |  ('a_base_p4x1',  500, '0.4993'),
+         |  ('b_dup_p4x2',   500, '0.7133'),
+         |  ('c_highrecall_p8x3', 500, '0.982')
+         | ) v(config, n_queries, recall)
+         |ORDER BY config""".stripMargin
   )
+
+  /** (label, nCentroids, nProbe, nAssign) — the IVF recall/redundancy
+    * dial pinned by ann_ivf_recall. */
+  private val ivfRecallConfigs: Seq[(String, Int, Int, Int)] = Seq(
+    ("a_base_p4x1", 16, 4, 1),
+    ("b_dup_p4x2", 16, 4, 2),
+    ("c_highrecall_p8x3", 16, 8, 3))
 }

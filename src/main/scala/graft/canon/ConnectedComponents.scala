@@ -1,20 +1,27 @@
 package graft.canon
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Distributed connected components by iterative min-label
-  * propagation over DataFrame joins — the GraphFrames-style synonym
+/** Distributed connected components — the GraphFrames-style synonym
   * merge of the north star, hand-rolled because no GraphFrames jar
   * ships in this sandbox (SURVEY.md §7.3).
   *
-  * Each iteration: every node adopts the minimum label among itself
-  * and its neighbors; `localCheckpoint` truncates lineage so the plan
-  * doesn't grow with iterations (the classic iterative-join pitfall).
-  * Converges in O(diameter) rounds; synonym clusters are shallow
-  * (diameter ~2-4), and `maxIter` bounds adversarial chains
-  * (SURVEY.md §7.4 "CC convergence cost").
+  * Default algorithm ([[run]]): alternating large-star / small-star
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC 2014 — public knowledge): each round rewires every node's
+  * strictly-larger neighbors (large-star) then its smaller-or-equal
+  * neighbors (small-star) to the minimum of its neighborhood.
+  * Converges in O(log n) rounds on ANY graph shape — a long chain
+  * that costs min-label propagation O(diameter) rounds collapses
+  * logarithmically. `localCheckpoint` truncates lineage per round
+  * (the classic iterative-join pitfall).
+  *
+  * [[runLabelProp]] keeps the one-join-per-round min-label variant:
+  * cheaper per round, the right call when components are known
+  * shallow (synonym clusters: diameter ~2-4).
   */
 object ConnectedComponents {
 
@@ -44,8 +51,72 @@ object ConnectedComponents {
 
   /** @param edges DataFrame with string columns (src, dst), undirected.
     * @return DataFrame (node, component) where component = min node id
-    *         reachable (lexicographic). */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    *         reachable (lexicographic). O(log n) large-star/small-star
+    *         rounds. */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 30): DataFrame =
+    runLogStarStats(spark, edges, maxIter)._1
+
+  /** [[run]] + the number of alternation rounds executed (tests assert
+    * logarithmic convergence on adversarial chains). */
+  def runLogStarStats(spark: SparkSession, edges: DataFrame,
+                      maxIter: Int = 30): (DataFrame, Int) = {
+    import spark.implicits._
+    val nodes = edges.select($"src".as("node"))
+      .unionByName(edges.select($"dst".as("node"))).distinct()
+      .localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      // symmetrize, then connect every strictly-larger neighbor of u
+      // to min(N(u) ∪ {u})
+      val sym = e.select($"u", $"v").unionByName(e.select($"v".as("u"), $"u".as("v")))
+      val m = least(min($"v").over(Window.partitionBy($"u")), $"u")
+      sym.withColumn("m", m)
+        .filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v").distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient larger->smaller, then connect every smaller neighbor of
+      // u AND u itself to min(N≤(u) ∪ {u})
+      val dir = e.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      val withMin = dir.withColumn("m", min($"v").over(Window.partitionBy($"u")))
+      withMin.select($"v".as("u"), $"m".as("v"))
+        .unionByName(withMin.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v").distinct()
+    }
+    def signature(e: DataFrame): (Long, Long) = {
+      // xor-fold of row hashes: a sound SET signature (rows are
+      // distinct) that cannot overflow under ANSI arithmetic
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var e = edges.select($"src".as("u"), $"dst".as("v"))
+      .filter($"u" =!= $"v").distinct().localCheckpoint()
+    var sig = signature(e)
+    var iter = 0
+    var converged = e.isEmpty
+    while (iter < maxIter && !converged) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      iter += 1
+    }
+    // converged: a star forest of (child, center=component-min) edges;
+    // centers (and isolated inputs) map to themselves
+    val comp = nodes
+      .join(e.groupBy($"u".as("node")).agg(min($"v").as("c")), Seq("node"), "left")
+      .select($"node", coalesce($"c", $"node").as("component"))
+    (comp, iter)
+  }
+
+  /** Iterative min-label propagation: every node adopts the minimum
+    * label among itself and its neighbors, O(diameter) rounds —
+    * cheaper per round than [[run]], right for shallow graphs. */
+  def runLabelProp(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
     import spark.implicits._
     val und = edges.select($"src".as("a"), $"dst".as("b"))
       .unionByName(edges.select($"dst".as("a"), $"src".as("b")))

@@ -2,23 +2,31 @@ package graft.dict
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.length
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Dictionary artifacts prepared ONCE and reused across pipeline
   * runs: the broadcast automaton, the cascade resolution table, the
-  * normalized KNN matrix, and the canonicalization map. In production
-  * the dictionary changes rarely while transcripts arrive forever —
-  * every per-batch job should pay zero dictionary-derivation cost
-  * (it is serial, driver-coordinated work that otherwise caps scaling
-  * efficiency).
+  * TF-IDF surface token index, the normalized KNN matrix, the
+  * definition-embedding matrix, and the canonicalization map. In
+  * production the dictionary changes rarely while transcripts arrive
+  * forever — every per-batch job should pay zero dictionary-derivation
+  * cost (it is serial, driver-coordinated work that otherwise caps
+  * scaling efficiency).
   */
 final case class PreparedDict(
     dict: ConceptDict,
     automaton: Broadcast[AhoCorasick],
     resolution: DataFrame,                       // (norm, code, stage) winner
-    fuzzySurfaces: DataFrame,                    // (norm, code) for token index
+    fuzzySurfaces: DataFrame,                    // (norm, code, ctype) unified term-search table
+    fuzzyTokens: DataFrame,                      // (ctype, code, surf_norm, token, idf, surf_w)
+    fuzzyTokensAny: DataFrame,                   // same, deduped across ctype (no ctype col)
+    maxIdf: Double,                              // idf assigned to tokens unseen in the dictionary
     vecs: Broadcast[Array[(String, Array[Float])]], // L2-normalized, terms >= MinCosineLen chars
     surfaces: Broadcast[Array[(String, String)]],   // (norm, code) for edit-distance scan
+    defs: Broadcast[Array[(String, String, String, String, Array[Float])]],
+                                                 // (ctype, code, term, definition, defVec) — raw
+                                                 // (un-normalized) vectors for double-exact cosine
     canonical: DataFrame)                        // (code, canonical)
 
 object PreparedDict {
@@ -36,11 +44,48 @@ object PreparedDict {
     val resolution = graft.link.MatchLadder.resolutionTable(spark, dict)
       .cache()
     resolution.count() // materialize now, not inside the first batch
-    val fuzzy = resolution.select($"norm", $"code")
-      .unionByName(dict.synonyms.select(
-        graft.Functions.norm_text($"term").as("norm"), $"code"))
+
+    // unified term-search surface table WITH a node-type column, so a
+    // type-filtered search ("only CDEs") is one predicate — mirrors the
+    // reference's single ftTermIndex spanning all labels + `type`
+    // property (tests/test_neoretrievers.py:22-31)
+    def normTerm = graft.Functions.norm_text($"term").as("norm")
+    val fuzzy = dict.ncit.select(normTerm, $"code", lit("NCIT").as("ctype"))
+      .unionByName(dict.pv.select(normTerm, $"code", lit("PV").as("ctype")))
+      .unionByName(dict.cde.select(normTerm, $"code", lit("CDE").as("ctype")))
+      .unionByName(dict.synonyms.select(normTerm, $"code", lit("SYN").as("ctype")))
       .distinct().cache()
     fuzzy.count()
+
+    // TF-IDF token index over the surface table — deterministic
+    // stand-in for the reference's Lucene BM25 full-text scores
+    // (exact_match.py:143-154): idf(t) = ln(1 + N/df(t)) with df =
+    // number of distinct surfaces containing t, N = distinct surfaces.
+    // surf_w = Σ idf over a surface's tokens (weighted-Jaccard mass).
+    // idf is QUANTIZED to 2^-20 steps: dyadic rationals add exactly,
+    // so weight sums are independent of partial-aggregation order —
+    // scores stay bit-identical across partitionings and vs SQL oracles.
+    val Q = (1 << 20).toDouble
+    val nSurf = fuzzy.select($"norm").distinct().count()
+    val maxIdf = math.floor(math.log1p(nSurf.toDouble) * Q + 0.5) / Q
+    val surfTok = fuzzy
+      .withColumn("toks", array_distinct(split($"norm", " ")))
+      .select($"ctype", $"code", $"norm".as("surf_norm"), explode($"toks").as("token"))
+    val idf = surfTok.select($"surf_norm", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+      .select($"token",
+        (floor(log(lit(1.0) + lit(nSurf.toDouble) / $"df") * Q + 0.5) / Q).as("idf"))
+    val fuzzyTokens = surfTok.join(idf, "token")
+      .withColumn("surf_w",
+        sum($"idf").over(Window.partitionBy($"ctype", $"code", $"surf_norm")))
+      .select($"ctype", $"code", $"surf_norm", $"token", $"idf", $"surf_w")
+      .cache()
+    fuzzyTokens.count()
+    val fuzzyTokensAny = fuzzyTokens
+      .select($"code", $"surf_norm", $"token", $"idf", $"surf_w")
+      .distinct().cache()
+    fuzzyTokensAny.count()
+
     val dictVecs = dict.ncit.select(graft.Functions.norm_text($"term").as("norm"), $"code", $"embedding")
       .unionByName(dict.pv.select(graft.Functions.norm_text($"term").as("norm"), $"code", $"embedding"))
       .unionByName(dict.cde.select(graft.Functions.norm_text($"term").as("norm"), $"code", $"embedding"))
@@ -49,12 +94,30 @@ object PreparedDict {
       .as[(String, Array[Float])].collect()
       .sortBy(_._1).map { case (c, v) => (c, l2(v)) }
     val bcVecs = spark.sparkContext.broadcast(dictVecs)
+
     // all linkable surfaces for the bounded-edit-distance scan
-    val surfArr = fuzzy.as[(String, String)].collect().sortBy(identity)
+    val surfArr = fuzzy.select($"norm", $"code")
+      .distinct().as[(String, String)].collect().sortBy(identity)
     val bcSurf = spark.sparkContext.broadcast(surfArr)
+
+    // definition-embedding matrix for the description retrievers
+    // (reference cdeIndex/ncitIndex over node.definition,
+    // semantic_retrievers.py:129-205). Vectors kept RAW (un-normalized)
+    // so per-pair double cosine is bit-exact vs a SQL oracle.
+    val defArr = dict.ncit.select($"code", $"term", $"definition", lit("NCIT").as("ctype"))
+      .unionByName(dict.cde.select($"code", $"term", $"definition", lit("CDE").as("ctype")))
+      .filter($"definition".isNotNull)
+      .as[(String, String, String, String)].collect()
+      .sortBy { case (code, _, _, ctype) => (ctype, code) }
+      .map { case (code, term, defn, ctype) =>
+        (ctype, code, term, defn, graft.functions.Vectorizer.vectorizeChar(defn))
+      }
+    val bcDefs = spark.sparkContext.broadcast(defArr)
+
     val canonical = graft.canon.Canonicalizer.canonicalMap(spark, dict).cache()
     canonical.count()
-    PreparedDict(dict, ac, resolution, fuzzy, bcVecs, bcSurf, canonical)
+    PreparedDict(dict, ac, resolution, fuzzy, fuzzyTokens, fuzzyTokensAny, maxIdf,
+      bcVecs, bcSurf, bcDefs, canonical)
   }
 
   private def l2(v: Array[Float]): Array[Float] = {

@@ -9,15 +9,18 @@ import graft.functions.Vectorizer
 import graft.model.{Link, Mention}
 
 /** The de-LLM-ed priority cascade (reference llm_agent_4o.py:485-508:
-  * exact -> fuzzy -> synonym -> semantic), computed SET-BASED over all
-  * mentions at once instead of one agent round-trip per value
-  * (SURVEY.md §2.9). Stages:
+  * exact -> fuzzy -> synonym -> semantic -> definition), computed
+  * SET-BASED over all mentions at once instead of one agent
+  * round-trip per value (SURVEY.md §2.9). Stages:
   *
   *   1 exact code lookup        (reference exact_match.py:17-65,  P1)
   *   2 exact normalized term    (reference exact_match.py:67-120, P2)
   *   3 synonym surface          (reference synonym_tool.py:19-88, J1/J2)
-  *   4 fuzzy token-overlap top-k(reference exact_match.py:122-180, W2)
+  *   4 fuzzy TF-IDF top-k       (reference exact_match.py:122-180, W2)
   *   5 semantic KNN top-k       (reference semantic_retrievers.py:62-76, W1)
+  *   6 definition-embedding search for multi-word DESCRIPTIONS
+  *     (reference semantic_retrievers.py:129-205; the agent routes
+  *     "a phrase ... over 4 words" here, llm_agent_4o.py:507)
   *
   * Scale architecture: the cascade winner for stages 1-3 depends only
   * on the mention's normalized surface, so the priority selection is
@@ -41,6 +44,10 @@ object MatchLadder {
   val DefaultSemanticK = 3    // reference llm_agent_4o.py:252 agent top_k
   val DefaultFuzzyMin = 0.34
   val DefaultSemanticMin = 0.5
+  /** Minimum word count for the definition stage — the reference
+    * routes "a phrase ... over 4 words" to definition search
+    * (llm_agent_4o.py:507). */
+  val DefinitionMinWords = 5
 
   private val mentionKey = Seq("conv_id", "turn_idx", "begin", "end")
 
@@ -94,32 +101,14 @@ object MatchLadder {
     val unmatched = resolved.filter($"code".isNull)
       .select((mentionKey.map(col) :+ $"surface" :+ $"norm"): _*)
 
-    // --- stage 4: fuzzy token-overlap top-k (W2 stand-in for the
-    //     Lucene full-text index; deterministic Jaccard scoring).
-    //     Inverted-index join against the broadcast surface tokens;
-    //     shuffles only residue-sized data. ---
-    val allSurfaces = prepared.fuzzySurfaces
-    val surfTok = allSurfaces
-      .withColumn("toks", array_distinct(split($"norm", " ")))
-      .select($"code", $"norm".as("surf_norm"), size($"toks").as("ntok"),
-        explode($"toks").as("token"))
-    val mTok = unmatched
-      .withColumn("toks", array_distinct(split($"norm", " ")))
-      .select((mentionKey.map(col) :+ $"surface" :+ size($"toks").as("mtok") :+
-        explode($"toks").as("token")): _*)
-    val s4 = mTok.join(broadcast(surfTok), "token")
-      .groupBy((mentionKey.map(col) :+ $"surface" :+ $"mtok" :+ $"code" :+
-        $"surf_norm" :+ $"ntok"): _*)
-      .agg(count(lit(1)).as("ov"))
-      .withColumn("score", $"ov".cast("double") / ($"mtok" + $"ntok" - $"ov"))
-      .filter($"score" >= fuzzyMin)
-      // best surface per (mention, code), then top-k codes per mention
-      .withColumn("rs", row_number().over(Window.partitionBy(
-        (mentionKey.map(col) :+ $"code"): _*).orderBy($"score".desc, $"surf_norm".asc)))
-      .filter($"rs" === 1)
-      .withColumn("rk", row_number().over(Window.partitionBy(
-        mentionKey.map(col): _*).orderBy($"score".desc, $"code".asc)))
-      .filter($"rk" <= fuzzyK)
+    // --- stage 4: fuzzy TF-IDF-weighted token-overlap top-k (W2 —
+    //     the deterministic stand-in for the Lucene BM25 full-text
+    //     index: rare tokens dominate). Inverted-index join against
+    //     the broadcast surface token index; shuffles only
+    //     residue-sized data. ---
+    val s4 = weightedFuzzyTopK(spark,
+        unmatched.select((mentionKey.map(col) :+ $"surface" :+ $"norm"): _*),
+        mentionKey :+ "surface", prepared, fuzzyK, fuzzyMin)
       .select((mentionKey.map(col) :+ $"surface" :+ $"code" :+
         lit(4).as("stage") :+ $"score"): _*)
 
@@ -169,10 +158,33 @@ object MatchLadder {
       }
       .toDF("conv_id", "turn_idx", "begin", "end", "surface", "code", "stage", "score")
 
+    // --- stage 6: definition-embedding search for multi-word
+    //     DESCRIPTIONS (the reference's semantic_cde_definition /
+    //     semantic_ncit_definition fallback, fired only for phrases
+    //     over 4 words — llm_agent_4o.py:507 — and, via the priority
+    //     window below, only when every surface stage missed). ---
+    val bcDefs = prepared.defs
+    val minWords = DefinitionMinWords
+    val s6 = unmatched
+      .filter(size(split($"norm", " ")) >= minWords)
+      .select($"conv_id", $"turn_idx", $"begin", $"end", $"surface", $"norm")
+      .as[(String, Int, Int, Int, String, String)]
+      .flatMap { case (cid, ti, b, e, surf, norm) =>
+        val qv = Vectorizer.vectorizeChar(norm)
+        val cde = DefinitionSearch.topDefs(qv, bcDefs.value, "CDE", k)
+        val ncit = DefinitionSearch.topDefs(qv, bcDefs.value, "NCIT", k)
+        (cde ++ ncit).map { case (code, _, _, score) => (code, score) }
+          .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).max) }
+          .filter { case (_, s) => s >= minS }
+          .toSeq.sortBy { case (c, s) => (-s, c) }.take(k)
+          .map { case (code, score) => (cid, ti, b, e, surf, code, 6, score) }
+      }
+      .toDF("conv_id", "turn_idx", "begin", "end", "surface", "code", "stage", "score")
+
     // --- priority selection over the residue only ---
     val w = Window.partitionBy(mentionKey.map(col): _*)
       .orderBy($"stage".asc, $"score".desc, $"code".asc)
-    val residueWinners = s4.unionByName(s5)
+    val residueWinners = s4.unionByName(s5).unionByName(s6)
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
 
     exactLinks.unionByName(residueWinners)
@@ -184,6 +196,74 @@ object MatchLadder {
       .select($"conv_id", $"turn_idx", $"begin", $"end", $"surface",
         $"code", $"stage", $"score", $"confidence")
       .as[Link]
+  }
+
+  /** IDF-weighted token-overlap top-k of `queries` against the
+    * prepared surface token index — the deterministic replacement for
+    * the reference's Lucene BM25 scores (exact_match.py:143-154):
+    *
+    *   score = Σ_{t ∈ Q∩S} idf(t) / (W_Q + W_S − Σ_{t ∈ Q∩S} idf(t))
+    *
+    * a weighted Jaccard in [0,1] where rare tokens dominate; query
+    * tokens unseen in the dictionary weigh maxIdf = ln(1+N) (they
+    * dilute the score — a misspelled token is evidence AGAINST a
+    * surface, exactly like Lucene's unmatched-term penalty).
+    *
+    * @param queries DataFrame with `keyCols` + a `norm` column
+    * @param typeFilter restrict to one node type (NCIT/PV/CDE/SYN) —
+    *   the reference's ftTermIndex `type` filter
+    *   (tests/test_neoretrievers.py:22-31)
+    * @return keyCols + (rank, code, surf_norm, score), top-k per key
+    *   under (score DESC, code ASC), best surface per (key, code). */
+  def weightedFuzzyTopK(spark: SparkSession, queries: DataFrame, keyCols: Seq[String],
+                        prepared: graft.dict.PreparedDict, k: Int, minScore: Double,
+                        typeFilter: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val key = keyCols.map(col)
+    val surfTok = typeFilter match {
+      case Some(t) => prepared.fuzzyTokens.filter($"ctype" === t).drop("ctype")
+      case None => prepared.fuzzyTokensAny
+    }
+    val idfMap = prepared.fuzzyTokensAny.select($"token", $"idf").distinct()
+    // W_Q includes tokens matching NO surface (they must dilute) —
+    // carried alongside every token row via a window sum, so no
+    // second query-side join is ever needed (idf values are dyadic,
+    // so the sum is exact and order-independent)
+    val qTok = queries
+      .withColumn("toks", array_distinct(split($"norm", " ")))
+      .select((key :+ explode($"toks").as("token")): _*)
+      .join(broadcast(idfMap), Seq("token"), "left")
+      .withColumn("w", coalesce($"idf", lit(prepared.maxIdf)))
+      .withColumn("q_w", sum($"w").over(Window.partitionBy(key: _*)))
+    val matched = qTok.select((key ++ Seq($"token", $"q_w")): _*)
+      .join(broadcast(surfTok), "token")
+      .groupBy((key ++ Seq($"code", $"surf_norm", $"surf_w", $"q_w")): _*)
+      .agg(sum($"idf").as("ov_w"))
+    matched
+      .withColumn("score", $"ov_w" / ($"q_w" + $"surf_w" - $"ov_w"))
+      .filter($"score" >= minScore)
+      // best surface per (key, code), then top-k codes per key
+      .withColumn("rs", row_number().over(Window.partitionBy(
+        (key :+ $"code"): _*).orderBy($"score".desc, $"surf_norm".asc)))
+      .filter($"rs" === 1)
+      .withColumn("rank", row_number().over(Window.partitionBy(key: _*)
+        .orderBy($"score".desc, $"code".asc)))
+      .filter($"rank" <= k)
+      .select((key ++ Seq($"rank", $"code", $"surf_norm", $"score")): _*)
+  }
+
+  /** Unified type-filtered term search (the reference's ftTermIndex
+    * spanning all labels with a `type` property filter): search the
+    * whole dictionary — or one node type — for the best-matching
+    * surfaces of free-text queries. queries: (query_id, text). */
+  def termSearch(spark: SparkSession, queries: DataFrame,
+                 prepared: graft.dict.PreparedDict, k: Int = DefaultFuzzyK,
+                 minScore: Double = 0.0,
+                 typeFilter: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val q = queries.select($"query_id",
+      graft.Functions.norm_text($"text").as("norm"))
+    weightedFuzzyTopK(spark, q, Seq("query_id"), prepared, k, minScore, typeFilter)
   }
 }
 

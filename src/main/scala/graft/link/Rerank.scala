@@ -20,8 +20,13 @@ import graft.dict.ConceptDict
   *    pinned per SURVEY.md §7.4);
   *  - combined = 0.7 * base + 0.3 * cosine(query, oc)  (weights from
   *    reference semantic_retrievers.py:237);
-  *  - candidates with no cde / no oc keep oc_score = 0 fallback
-  *    (reference semantic_retrievers.py:216-219, 234-235).
+  *  - a candidate with NO cde code at all skips OC reranking entirely:
+  *    combined = raw score (reference semantic_retrievers.py:213-219
+  *    `if not cde_code: combined_score = score` — falsy check, so
+  *    null AND empty-string codes both pass through);
+  *  - a candidate WITH a cde code but no DEC->OC path keeps
+  *    oc_score = 0, combined = 0.7 * score
+  *    (reference semantic_retrievers.py:229-237).
   */
 object Rerank {
 
@@ -49,7 +54,9 @@ object Rerank {
       .withColumn("oc_score",
         when($"oc_embedding".isNull, lit(0.0))
           .otherwise(cosine_sim($"query_vec", $"oc_embedding")))
-      .withColumn("combined_score", $"score" * 0.7 + $"oc_score" * 0.3)
+      .withColumn("combined_score",
+        when($"cde_code".isNull || $"cde_code" === "", $"score") // no-CDE passthrough
+          .otherwise($"score" * 0.7 + $"oc_score" * 0.3))
       .drop("oc_embedding")
       .orderBy($"query_id".asc, $"combined_score".desc, $"cde_code".asc)
   }

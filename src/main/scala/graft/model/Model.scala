@@ -54,7 +54,8 @@ final case class Mention(
 
 /** One mention -> concept link produced by the match ladder.
   * `stage`: 1 exact-code, 2 exact-term, 3 synonym, 4 fuzzy,
-  * 5 semantic (cascade priority per reference llm_agent_4o.py:485-508).
+  * 5 semantic, 6 definition-embedding (cascade priority per
+  * reference llm_agent_4o.py:485-508).
   * `confidence` bands per reference test_semantic_retrievers.py:270-276. */
 final case class Link(
     conv_id: String,

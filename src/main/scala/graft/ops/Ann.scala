@@ -105,22 +105,29 @@ object Ann {
     * are corpus/nCentroids on average, so compared pairs shrink by
     * ~nCentroids/nProbe.
     *
-    * Centroids are picked deterministically (every corpus/k-th vector
-    * of the id-sorted corpus — a k-means++ seeding stand-in; a real
-    * deployment would run a few Lloyd iterations, which changes
-    * assignment quality, not the operator's shape). */
+    * Centroids are seeded by a deterministic hash-ordered take: the
+    * nCentroids rows with the smallest xxhash64(id) — a uniform
+    * pseudo-random sample that plans as TakeOrderedAndProject, so
+    * only nCentroids (vector) rows EVER reach the driver (no
+    * corpus-sized collect; a real deployment would add a few Lloyd
+    * iterations, which changes assignment quality, not the operator's
+    * shape). */
+  /** @param nAssign replicate each corpus vector into its `nAssign`
+    *   nearest lists (multi-assignment): recall on weakly-clustered
+    *   data improves at the cost of an nAssign-times-larger index —
+    *   the standard redundancy/recall dial of inverted-file ANN. */
   def ivfTopK(spark: SparkSession, vecs: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCentroids: Int = 16, nProbe: Int = 4, nAssign: Int = 1): DataFrame = {
     import spark.implicits._
     val corpus = vecs.select(col("id").cast("string"), col("vec"))
       .as[(String, Array[Float])]
-    // deterministic coarse centroids (broadcast-sized by construction)
-    val sortedIds = corpus.select(col("id")).as[String].collect().sorted
-    val step = math.max(1, sortedIds.length / nCentroids)
-    val centroidIds = sortedIds.zipWithIndex
-      .filter { case (_, i) => i % step == 0 }.take(nCentroids).map(_._1).toSet
-    val centroids: Array[(Int, Array[Float])] = corpus
-      .filter(r => centroidIds.contains(r._1)).collect().sortBy(_._1)
+    // deterministic coarse centroids: distributed top-N by id hash
+    // (driver sees exactly nCentroids rows, never the corpus)
+    val centroids: Array[(Int, Array[Float])] = corpus.toDF("id", "vec")
+      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .limit(nCentroids)
+      .select(col("id"), col("vec")).as[(String, Array[Float])]
+      .collect().sortBy(_._1)
       .zipWithIndex.map { case ((_, v), i) => (i, v) }
     val bcCent = spark.sparkContext.broadcast(centroids)
 
@@ -129,9 +136,10 @@ object Ann {
         (cid, graft.functions.VectorMath.cosine(v, cv))
       }.sortBy { case (cid, s) => (-s, cid) }.take(n).map(_._1).toSeq
 
-    // inverted lists: each vector in exactly its nearest centroid's list
-    val assigned = corpus.map { case (id, v) =>
-      (nearestCentroids(v, 1).head, id, v)
+    // inverted lists: each vector in its nAssign nearest centroids' lists
+    val na = nAssign
+    val assigned = corpus.flatMap { case (id, v) =>
+      nearestCentroids(v, na).map(c => (c, id, v))
     }.toDF("centroid", "id", "vec")
     // queries probe nProbe lists
     val probes = corpus.flatMap { case (qid, qv) =>
@@ -157,12 +165,4 @@ object Ann {
       (h.toDouble / Long.MaxValue.toDouble).toFloat
     }
 
-  private def l2(v: Array[Float]): Array[Float] = {
-    var n = 0.0; var i = 0
-    while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
-    if (n == 0.0) v
-    else { val inv = (1.0 / math.sqrt(n)).toFloat
-      val out = new Array[Float](v.length)
-      i = 0; while (i < v.length) { out(i) = v(i) * inv; i += 1 }; out }
-  }
 }

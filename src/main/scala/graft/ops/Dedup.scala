@@ -90,26 +90,56 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Token-set Jaccard >= threshold via inverted-index join —
-    * candidate pairs must share >=1 token, so the join is bounded by
-    * token document-frequency (drop ubiquitous tokens upstream at
-    * scale). */
+  /** Token-set Jaccard >= threshold via PREFIX-FILTERED inverted-index
+    * join (exact — no candidate with jaccard >= threshold is missed):
+    *
+    * Prefix-filter argument: order all tokens globally by ascending
+    * document frequency (rarest first; ties by token). If
+    * jaccard(A,B) >= t then |A∩B| >= t/(1+t)·(|A|+|B|) > |A| - p where
+    * p = floor((1-t)·|A|) + 1, so A and B must share at least one
+    * token among the p RAREST tokens of A (its "prefix") — indexing
+    * only prefixes finds every qualifying pair. A ubiquitous token
+    * (stopword) lands in a doc's prefix only when nearly all of the
+    * doc's tokens are ubiquitous, so the O(df²) pair explosion of a
+    * naive inverted index is structurally avoided; candidate pairs are
+    * then verified with the exact Jaccard over full token sets. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
+    val tokSets = docs.select(col(idCol).as("id"),
       array_distinct(split(Functions.norm_text(col(textCol)), " ")).as("toks"))
-      .select(col("id"), size(col("toks")).as("ntok"), explode(col("toks")).as("token"))
-    val a = toks.select(col("id").as("id_a"), col("ntok").as("ntok_a"), col("token"))
-    val b = toks.select(col("id").as("id_b"), col("ntok").as("ntok_b"), col("token"))
-    a.join(b, "token")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "ntok_a", "ntok_b")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("ntok_a") + col("ntok_b") - col("inter")))
+    val cand = ngramJaccardCandidates(tokSets, threshold)
+    val a = tokSets.select(col("id").as("id_a"), col("toks").as("toks_a"))
+    val b = tokSets.select(col("id").as("id_b"), col("toks").as("toks_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
+  }
+
+  /** Candidate pairs from the prefix-filtered inverted index — a
+    * guaranteed superset of all pairs with jaccard >= threshold
+    * (exposed so tests can assert the candidate count stays bounded
+    * on stopword-heavy corpora). Input: (id, toks:array<string>). */
+  def ngramJaccardCandidates(tokSets: DataFrame, threshold: Double): DataFrame = {
+    val toks = tokSets.select(col("id"), size(col("toks")).as("ntok"),
+      explode(col("toks")).as("token"))
+    val df = toks.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("token").asc)
+    val prefix = toks.join(df, "token")
+      .withColumn("pos", row_number().over(w))
+      // +1e-9: fp guard so (1-t)*n just below an integer still rounds
+      // UP to the exact ⌊(1-t)n⌋ (a larger prefix is always safe)
+      .filter(col("pos") <= floor((lit(1.0) - threshold) * col("ntok") + 1e-9) + 1)
+      .select(col("id"), col("token"))
+    val a = prefix.select(col("id").as("id_a"), col("token"))
+    val b = prefix.select(col("id").as("id_b"), col("token"))
+    a.join(b, "token")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
   }
 
   /** Embedding near-dup pairs: cosine >= threshold, blocked by a

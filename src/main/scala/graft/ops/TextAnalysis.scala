@@ -36,8 +36,12 @@ object TextAnalysis {
   }
 
   /** Per-doc quality features + a composite score in [0,1]:
-    * word stats, stopword ratio, punctuation density, repetition. */
+    * word stats, stopword ratio, punctuation density, repetition.
+    * Ratios use floor(x*1e4+0.5)/1e4 (HALF_UP), never round(): Spark
+    * round is HALF_UP but DuckDB's is half-even on exact halfway
+    * doubles — the floor form is identical in both engines. */
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def r4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
     val toks = split(Functions.norm_text(col(textCol)), " ")
     val nWords = size(toks)
     val nChars = length(col(textCol))
@@ -51,13 +55,13 @@ object TextAnalysis {
       .cast("double") / greatest(nWords, lit(1))
     docs.select(col(idCol),
       nWords.as("n_words"),
-      round(stopRatio, 4).as("stopword_ratio"),
-      round(punctRatio, 4).as("punct_ratio"),
-      round(distinctRatio, 4).as("distinct_ratio"),
-      round(meanWordLen, 4).as("mean_word_len"),
+      r4(stopRatio).as("stopword_ratio"),
+      r4(punctRatio).as("punct_ratio"),
+      r4(distinctRatio).as("distinct_ratio"),
+      r4(meanWordLen).as("mean_word_len"),
       // composite: long enough, not punct-soup, lexically diverse
-      round(least(lit(1.0), nWords.cast("double") / 50) * (lit(1.0) - punctRatio)
-        * distinctRatio, 4).as("quality_score"))
+      r4(least(lit(1.0), nWords.cast("double") / 50) * (lit(1.0) - punctRatio)
+        * distinctRatio).as("quality_score"))
   }
 
   /** Whitespace token count. */

@@ -159,8 +159,14 @@ object StageManifest {
   final case class Entry(stage: String, rows: Long, partitions: Int,
                          fingerprint: String, buckets: Set[Int] = Set.empty)
 
-  /** Order-insensitive fingerprint combinator. */
+  /** Order-SENSITIVE fingerprint combinator: each part is absorbed
+    * then mixed, so fp(a,b) != fp(b,a) and fp(x,x,y) != fp(y) — a
+    * plain XOR fold is both order-insensitive and self-canceling,
+    * which would let distinct stage inputs collide and silently reuse
+    * a stale checkpoint on resume. */
   def fp(parts: String*): String =
     java.lang.Long.toHexString(
-      parts.map(graft.functions.Hashing.hash64).foldLeft(0x9e3779b97f4a7c15L)(_ ^ _))
+      parts.foldLeft(0x9e3779b97f4a7c15L) { (h, p) =>
+        graft.functions.Hashing.mix64(h ^ graft.functions.Hashing.hash64(p))
+      })
 }

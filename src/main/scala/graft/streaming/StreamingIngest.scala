@@ -50,11 +50,16 @@ object StreamingIngest {
   def linkSink(spark: SparkSession, inputDir: String, dict: ConceptDict,
                outDir: String, checkpointDir: String): StreamingQuery = {
     import spark.implicits._
-    val ac = dict.broadcastAutomaton(spark)
+    // prepare dictionary artifacts ONCE, outside the stream: the slow
+    // path would re-collect/re-broadcast the dictionary and leak three
+    // cached DataFrames PER micro-batch on a long-running stream
+    val prepared = graft.dict.PreparedDict.prepare(spark, dict)
     readTurns(spark, inputDir).as[Turn].writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Turn], _: Long) =>
-        val mentions = MentionDetect.detect(batch, ac)
-        MatchLadder.link(spark, mentions, dict).toDF()
+        val mentions = MentionDetect.detect(batch, prepared.automaton)
+        MatchLadder.link(spark, mentions, prepared,
+          MatchLadder.DefaultFuzzyK, MatchLadder.DefaultSemanticK,
+          MatchLadder.DefaultFuzzyMin, MatchLadder.DefaultSemanticMin).toDF()
           .write.mode("append").parquet(outDir)
       }
       .option("checkpointLocation", checkpointDir)

@@ -22,6 +22,26 @@ class CanonRerankSpec extends SparkTestBase {
     assert(Seq("p", "q", "r").forall(comp(_) == "p"))
   }
 
+  test("cc converges logarithmically on a long chain (large-star/small-star)") {
+    // a 64-node chain needs ~32 rounds of min-label propagation but
+    // only O(log n) large-star/small-star alternations
+    val chain = (0 until 63).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("src", "dst")
+    val (comp, iters) = ConnectedComponents.runLogStarStats(spark, chain)
+    val m = comp.as[(String, String)].collect().toMap
+    assert(m.size == 64)
+    assert(m.values.toSet == Set("n00"), s"all nodes must reach the chain min")
+    assert(iters <= 10, s"expected O(log n) rounds, took $iters")
+  }
+
+  test("cc label-prop variant matches log-star on the same graph") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val a = ConnectedComponents.run(spark, edges)
+      .as[(String, String)].collect().toMap
+    val b = ConnectedComponents.runLabelProp(spark, edges)
+      .as[(String, String)].collect().toMap
+    assert(a == b)
+  }
+
   test("cc is idempotent: reapplying on merged labels changes nothing") {
     val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
     val comp = ConnectedComponents.run(spark, edges)
@@ -57,6 +77,24 @@ class CanonRerankSpec extends SparkTestBase {
     assert(math.abs(byCde("CDE2008")._2 - 0.8 * 0.7) < 1e-9)
     val (oc1, comb1) = byCde("CDE2001")
     assert(math.abs(comb1 - (0.9 * 0.7 + oc1 * 0.3)) < 1e-9)
+  }
+
+  test("rerank: candidate with NO cde code keeps its RAW score (no 0.7 penalty)") {
+    // reference semantic_retrievers.py:213-219: falsy cde_code skips OC
+    // reranking entirely -> combined_score = score
+    val dict = Fixtures.dict(spark)
+    val qv = Fixtures.embed("tumor stage")
+    val candidates = Seq(
+      ("q1", null.asInstanceOf[String], 0.9, qv), // no cde at all
+      ("q1", "", 0.85, qv),                       // empty = falsy in the reference
+      ("q1", "CDE2008", 0.8, qv)                  // cde present, no OC -> 0.7*score
+    ).toDF("query_id", "cde_code", "score", "query_vec")
+    val rows = Rerank.rerankWithOcContext(spark, candidates, dict).collect()
+    val byScore = rows.map(r => r.getAs[Double]("score") ->
+      r.getAs[Double]("combined_score")).toMap
+    assert(byScore(0.9) == 0.9, "null cde must pass raw score through")
+    assert(byScore(0.85) == 0.85, "empty cde must pass raw score through")
+    assert(math.abs(byScore(0.8) - 0.8 * 0.7) < 1e-9, "cde without OC keeps 0.7*score")
   }
 
   test("cdeToOc is deterministic limit-1 per cde") {

@@ -45,6 +45,30 @@ class OpsSpec extends SparkTestBase {
     assert(pairs.size == 3)
   }
 
+  test("ngram jaccard prefix filter bounds candidates on a stopword-heavy corpus") {
+    // 60 docs, each = the same 10 ubiquitous stopwords + 5 unique rare
+    // tokens: a naive inverted index on ALL tokens yields every pair
+    // (60*59/2 = 1770 candidates via the shared stopwords); the prefix
+    // filter indexes only each doc's rarest tokens, so candidates stay
+    // near the true near-dup count.
+    val stop = (1 to 10).map(i => s"common$i").mkString(" ")
+    val heavy = (0 until 60).map { i =>
+      // docs 2k and 2k+1 share their rare tokens -> true near-dups
+      val grp = i / 2
+      (i.toLong, s"$stop rare${grp}a rare${grp}b rare${grp}c rare${grp}d uniq$i")
+    }.toDF("doc_id", "text")
+    val tokSets = heavy.select($"doc_id".as("id"),
+      array_distinct(split(Functions.norm_text($"text"), " ")).as("toks"))
+    val nCand = Dedup.ngramJaccardCandidates(tokSets, threshold = 0.8).count()
+    assert(nCand < 200, s"prefix filter produced $nCand candidates (naive would be 1770)")
+    // and the exact result still finds every true pair (jaccard 14/16 < 0.8? ->
+    // shared = 10 stop + 4 rare = 14 of 16 union = 0.875 >= 0.8)
+    val pairs = Dedup.ngramJaccard(heavy, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((0 until 30).forall(g => pairs.contains((2L * g, 2L * g + 1))), "missed a true pair")
+    assert(pairs.size == 30)
+  }
+
   test("brute-force ann topk is exact, ordered, self-excluded") {
     val vecs = Seq(
       ("a", Array(1.0f, 0.0f, 0.0f)), ("b", Array(0.9f, 0.1f, 0.0f)),
@@ -85,6 +109,12 @@ class OpsSpec extends SparkTestBase {
       .select("query_id", "id").as[(String, String)].collect().toSet
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall > 0.85, s"ivf recall $recall")
+    // multi-assignment redundancy must not lose candidates: recall is
+    // monotone in nAssign (each list is a superset of the 1-assign one)
+    val ivf2 = Ann.ivfTopK(spark, vecs, k = 3, nCentroids = 10, nProbe = 3, nAssign = 2)
+      .select("query_id", "id").as[(String, String)].collect().toSet
+    val recall2 = (exact intersect ivf2).size.toDouble / exact.size
+    assert(recall2 >= recall, s"multi-assign recall $recall2 < $recall")
   }
 
   test("language id picks stopword-dominant language, und for no signal") {

@@ -9,6 +9,14 @@ import graft.fixtures.Fixtures
 class ResumeSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("fingerprint combinator is order-sensitive and not self-canceling") {
+    import graft.resume.StageManifest.fp
+    assert(fp("a", "b") != fp("b", "a"), "swapped parts must change the fingerprint")
+    assert(fp("x", "x", "y") != fp("y"), "repeated parts must not cancel out")
+    assert(fp("a", "b") == fp("a", "b"), "fp must be deterministic")
+    assert(fp("links", "canon", "triples") != fp("canon", "links", "triples"))
+  }
+
   test("resumable run: completed stages reload; downstream recomputes after invalidation") {
     val dir = Files.createTempDirectory("graft-resume").toString
     val dict = Fixtures.dict(spark)
