@@ -1297,6 +1297,33 @@ object SparkEntry {
          |FROM g ORDER BY doc_id""".stripMargin
     },
 
+    // the JVM rolling hash (h = 31*h + charCode, 64-bit wraparound)
+    // recomputed in DuckDB via a HUGEINT mod-2^64 list fold over
+    // codepoints (all document text is ASCII, so UTF-16 units ==
+    // codepoints) — bit-exact vs graft.functions.Hashing.rollingFingerprint
+    "text_fingerprint" ->
+      """SELECT doc_id, CAST(
+        | CASE WHEN r >= 9223372036854775808::HUGEINT
+        |  THEN r - 18446744073709551616::HUGEINT ELSE r END AS BIGINT) AS fp
+        |FROM (
+        | SELECT doc_id,
+        |  list_reduce(
+        |    list_concat([1125899906842597::HUGEINT],
+        |      [CAST(unicode(text[i+1:i+1]) AS HUGEINT) for i in range(length(text))]),
+        |    (h, c) -> (31 * h + c) % 18446744073709551616::HUGEINT) AS r
+        | FROM documents) ORDER BY doc_id""".stripMargin,
+
+    // deterministic regression pin for the FLAGSHIP pipeline: the
+    // fixture corpus is seed-fixed, so per-predicate triple counts at
+    // sf0.01 (200 convs x 8 turns + hot skew) are constants; any
+    // semantic drift in mention detection, the ladder, canonicalization
+    // or triple emission breaks this hash
+    "kg_pipeline_full" ->
+      """SELECT pred, CAST(n AS BIGINT) AS n FROM (VALUES
+        |  ('HAS_SYNONYM', 76), ('LINKED_TO', 2150),
+        |  ('MAPS_TO', 14), ('SAME_AS', 9)) v(pred, n)
+        |ORDER BY pred""".stripMargin,
+
     // deterministic regression pin: IVF is seeded by fixed id hashes,
     // so its recall vs exact brute force is a constant of the sf0.01
     // dataset — values measured once and pinned; any code change that
