@@ -55,14 +55,20 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
-    // per-query timings on the driver testdata. A failing query is
-    // reported as time -1 and listed in queries_failed — NEVER
-    // silently benched as a fast green number.
+    // per-query timings on the driver testdata: min of 2 runs (first
+    // doubles as plan/JIT warm-up) — single-shot timings on this
+    // shared box swing up to 10x with co-resident load. A failing
+    // query is reported as time -1 and listed in queries_failed —
+    // NEVER silently benched as a fast green number.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
+      def once(): Double = {
+        val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val t = math.min(once(), once())
+        (name, t, None: Option[String])
       } catch { case e: Throwable =>
         System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
         (name, -1.0, Some(e.getClass.getSimpleName))

@@ -711,9 +711,8 @@ object SparkEntry {
       GraftSession.prepare(s)
       val sf = dir.split("sf").last.toDouble
       val nConvs = math.max(50L, (sf * 20000).toLong)
-      val dict = graft.fixtures.Fixtures.dict(s)
       val turns = graft.fixtures.Fixtures.transcripts(s, nConvs, 8)
-      Pipeline.run(s, turns, dict).triples.toDF()
+      Pipeline.run(s, turns, preparedFixture(s)).triples.toDF()
         .groupBy(col("pred")).agg(count(lit(1)).as("n")).orderBy(col("pred"))
     }),
 

@@ -145,11 +145,14 @@ object Ann {
     val probes = corpus.flatMap { case (qid, qv) =>
       nearestCentroids(qv, nProbe).map(c => (c, qid, qv))
     }.toDF("centroid", "query_id", "qvec")
-    val pairs = probes.join(assigned, "centroid")
+    val scored = probes.join(assigned, "centroid")
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"),
         graft.Functions.cosine_sim(col("qvec"), col("vec")).as("cos"))
-      .groupBy("query_id", "id").agg(max("cos").as("cos"))
+    // with nAssign == 1 every (query, id) pair occurs at most once (a
+    // corpus vector lives in exactly one list) — skip the dedupe shuffle
+    val pairs = if (nAssign == 1) scored
+      else scored.groupBy("query_id", "id").agg(max("cos").as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("id").asc)
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

