@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CosineSimilarity, DocFingerprint, HashEmbed, MinHashSig, SimHash64}
+import graft.functions.{CosineSimilarity, DocFingerprint, Hash64Str, HashEmbed, MinHashSig, SimHash64}
 
 /** Column-level API + SQL registration for graft's native
   * Catalyst expressions. Everything here is deterministic and
@@ -44,6 +44,13 @@ object Functions {
   /** Order-sensitive rolling-hash document fingerprint. */
   def doc_fingerprint(text: Column): Column = column(DocFingerprint(expression(text)))
 
+  /** Engine-portable 64-bit string hash (FNV-1a + splitmix64). Use
+    * instead of xxhash64 wherever the hash participates in an
+    * externally-verifiable contract (oracle checks, cross-engine
+    * reproducibility) — Spark's xxhash64 is not reproducible outside
+    * the JVM without reimplementing its UTF8String layout hashing. */
+  def hash64_str(text: Column): Column = column(Hash64Str(expression(text)))
+
   /** Hamming distance between two 64-bit SimHashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -62,6 +69,8 @@ object Functions {
       exprs => SimHash64(exprs.head), "internal")
     reg.createOrReplaceTempFunction("doc_fingerprint",
       exprs => DocFingerprint(exprs.head), "internal")
+    reg.createOrReplaceTempFunction("hash64",
+      exprs => Hash64Str(exprs.head), "internal")
     reg.createOrReplaceTempFunction("minhash_sig",
       exprs => MinHashSig(exprs.head, 64), "internal")
     reg.createOrReplaceTempFunction("hash_embed",

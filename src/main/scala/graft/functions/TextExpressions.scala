@@ -61,6 +61,25 @@ case class HashEmbed(child: Expression, dim: Int)
   override def prettyName: String = "hash_embed"
 }
 
+/** hash64(text): FNV-1a 64-bit + splitmix64 finalizer over UTF-8
+  * bytes — the engine-portable deterministic hash (reproducible in
+  * any engine with 64-bit modular arithmetic, unlike xxhash64 whose
+  * Spark flavor hashes internal representations). Used wherever a
+  * hash value is part of an externally-checkable contract: IVF
+  * centroid seeding order, synthetic media dimensions. */
+case class Hash64Str(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"hash64 expects string, got ${dt.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.hash64(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Hash64Str = copy(child = c)
+  override def prettyName: String = "hash64"
+}
+
 /** doc_fingerprint(text): order-sensitive polynomial rolling hash. */
 case class DocFingerprint(child: Expression)
     extends UnaryExpression with CodegenFallback {

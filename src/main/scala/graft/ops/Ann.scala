@@ -106,7 +106,7 @@ object Ann {
     * ~nCentroids/nProbe.
     *
     * Centroids are seeded by a deterministic hash-ordered take: the
-    * nCentroids rows with the smallest xxhash64(id) — a uniform
+    * nCentroids rows with the smallest hash64(id) — a uniform
     * pseudo-random sample that plans as TakeOrderedAndProject, so
     * only nCentroids (vector) rows EVER reach the driver (no
     * corpus-sized collect; a real deployment would add a few Lloyd
@@ -122,9 +122,11 @@ object Ann {
     val corpus = vecs.select(col("id").cast("string"), col("vec"))
       .as[(String, Array[Float])]
     // deterministic coarse centroids: distributed top-N by id hash
-    // (driver sees exactly nCentroids rows, never the corpus)
+    // (driver sees exactly nCentroids rows, never the corpus).
+    // hash64 (engine-portable FNV+splitmix) rather than xxhash64 so
+    // the seeding order is reproducible by the external oracle.
     val centroids: Array[(Int, Array[Float])] = corpus.toDF("id", "vec")
-      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .orderBy(Functions.hash64_str(col("id")).asc, col("id").asc)
       .limit(nCentroids)
       .select(col("id"), col("vec")).as[(String, Array[Float])]
       .collect().sortBy(_._1)

@@ -48,8 +48,12 @@ object Multimodal {
       (when(col(idCol) % 3 === 0, "image")
         .when(col(idCol) % 3 === 1, "audio").otherwise("video")).as("kind"),
       encode(col(textCol), "UTF-8").as("payload"),
-      (pmod(xxhash64(col(textCol)), lit(1920)) + 1).cast("int").as("declared_w"),
-      (pmod(xxhash64(col(textCol), lit(1)), lit(1080)) + 1).cast("int").as("declared_h"))
+      // engine-portable hash64 (not xxhash64) so the synthetic dims
+      // are recomputable by the DuckDB oracle
+      (pmod(graft.Functions.hash64_str(col(textCol)), lit(1920)) + 1)
+        .cast("int").as("declared_w"),
+      (pmod(graft.Functions.hash64_str(concat(col(textCol), lit("|h"))), lit(1080)) + 1)
+        .cast("int").as("declared_h"))
 
   /** Batched per-partition decode — the mapInPandas-shaped hot path:
     * codec state initialized once per partition, rows streamed. */

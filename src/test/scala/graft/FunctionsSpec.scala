@@ -69,6 +69,19 @@ class FunctionsSpec extends SparkTestBase {
     assert(cos(v1, junk) < 0.5, s"junk cosine ${cos(v1, junk)}")
   }
 
+  test("hash64_str column expression: known vectors, UTF-8 handling, JVM parity") {
+    // pinned vectors cross-checked against the DuckDB HUGEINT oracle
+    // implementation (tools/gen_sketch_oracles.py) — these exact
+    // values anchor both engines to FNV-1a 64 + splitmix64 over UTF-8
+    assert(Hashing.hash64("hello") == java.lang.Long.parseUnsignedLong("17575560079636620544"))
+    assert(Hashing.hash64("héllo wörld") == java.lang.Long.parseUnsignedLong("11699540833507948141"))
+    assert(Hashing.hash64("") == java.lang.Long.parseUnsignedLong("14087677454934409008"))
+    val rows = Seq("hello", "héllo wörld", "a b c")
+      .toDF("s").select(Functions.hash64_str($"s").as("h")).collect()
+    assert(rows.map(_.getLong(0)).sameElements(
+      Array("hello", "héllo wörld", "a b c").map(Hashing.hash64)))
+  }
+
   test("simhash/minhash behave as similarity sketches") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"
     val b = "the quick brown fox jumps over the lazy dog near the river bank yesterday"

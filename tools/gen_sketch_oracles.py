@@ -1,0 +1,391 @@
+#!/usr/bin/env python3
+"""Generates the DuckDB oracle SQL for the sketch/ANN/multimodal
+catalog queries whose Spark side uses graft's native hashing
+(FNV-1a 64 + splitmix64 finalizer, graft.functions.Hashing) or
+deterministic float math. The generated SQL recomputes every hash in
+pure DuckDB HUGEINT modular arithmetic (mod 2^64), with lambda
+"let-bindings" (list_transform([x], v -> body)[1]) to keep each
+subexpression evaluated once — and, crucially, implements the NAIVE
+all-pairs algorithm, independently cross-checking the banded/blocked
+distributed Spark plans.
+
+Usage:
+  python3 tools/gen_sketch_oracles.py out.json    # write {name: sql}
+The SQL is then embedded in src/main/scala/graft/SketchOracles.scala
+(this script is the provenance + regeneration path).
+"""
+import json
+import sys
+
+M64 = "18446744073709551616::HUGEINT"   # 2^64
+MASK64 = "18446744073709551615::HUGEINT" # 2^64 - 1
+S63 = "9223372036854775808::HUGEINT"    # 2^63
+LMAX = "9223372036854775807::HUGEINT"   # Long.MaxValue
+
+_ctr = [0]
+def _v(p):
+    _ctr[0] += 1
+    return f"{p}{_ctr[0]}"
+
+def let(val, body_fn):
+    """SQL let-binding: bind `val` to a fresh variable, body_fn(var)."""
+    v = _v("g")
+    return f"list_transform([{val}], {v} -> {body_fn(v)})[1]"
+
+def mulmod(a_var, b_lit):
+    """(a*b) mod 2^64 for bound var a < 2^64, literal b < 2^64.
+    Split a into 32-bit halves so no intermediate exceeds HUGEINT."""
+    return (f"((((({a_var} >> 32) * {b_lit}) & 4294967295::HUGEINT)"
+            f" << 32)"
+            f" + ({a_var} & 4294967295::HUGEINT) * {b_lit}) & {MASK64}")
+
+def mix64(z0_expr):
+    """splitmix64 finalizer of Hashing.mix64, arg/result in [0, 2^64)."""
+    return let(z0_expr, lambda a:
+           let(f"({a} + 11400714819323198485::HUGEINT) & {MASK64}", lambda z1:
+           let(f"xor({z1}, {z1} >> 30)", lambda x1:
+           let(mulmod(x1, "13787848793156543929::HUGEINT"), lambda z2:
+           let(f"xor({z2}, {z2} >> 27)", lambda x2:
+           let(mulmod(x2, "10723151780598845931::HUGEINT"), lambda z3:
+               f"xor({z3}, {z3} >> 31)"))))))
+
+def utf8_bytes(s_expr):
+    """UTF-8 byte list (HUGEINT) of a string expr — codepoints expanded
+    per the UTF-8 spec so multi-byte chars match JVM getBytes."""
+    cp = f"[unicode(({s_expr})[i+1:i+1])::HUGEINT for i in range(length({s_expr}))]"
+    return (f"flatten(list_transform({cp}, cp -> CASE"
+            f" WHEN cp < 128 THEN [cp]"
+            f" WHEN cp < 2048 THEN [192 + cp//64, 128 + cp%64]"
+            f" WHEN cp < 65536 THEN [224 + cp//4096, 128 + (cp//64)%64, 128 + cp%64]"
+            f" ELSE [240 + cp//262144, 128 + (cp//4096)%64, 128 + (cp//64)%64,"
+            f" 128 + cp%64] END))")
+
+def fnv1a_over(bytes_expr, basis="14695981039346656037::HUGEINT"):
+    """FNV-1a 64 fold over a HUGEINT byte list (Hashing.fnv1a64)."""
+    return (f"list_reduce(list_concat([{basis}], {bytes_expr}),"
+            f" (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) & {MASK64})")
+
+def hash64(s_expr):
+    """Hashing.hash64 = mix64(fnv1a64(utf8(s))), in [0, 2^64)."""
+    return mix64(fnv1a_over(utf8_bytes(s_expr)))
+
+def to_signed(x_expr):
+    """[0,2^64) HUGEINT -> signed two's-complement (still HUGEINT)."""
+    return let(x_expr, lambda x:
+               f"CASE WHEN {x} >= {S63} THEN {x} - {M64} ELSE {x} END")
+
+def to_bigint(x_expr):
+    return f"CAST({to_signed(x_expr)} AS BIGINT)"
+
+# Tokenizer twin of Hashing.tokenize: lowercase, split on
+# non-letter/digit runs, drop empties.
+def toks(text_col):
+    return (f"list_filter(regexp_split_to_array(lower({text_col}),"
+            f" '[^\\p{{L}}\\p{{N}}]+'), tk -> tk <> '')")
+
+def minhash_seeds():
+    """Twin of Hashing.minHashSeeds(64): splitmix chain from the fixed
+    root 0x5eed5eed5eed5eed, as unsigned [0,2^64) ints."""
+    MASK = (1 << 64) - 1
+    def pmix(z):
+        z = (z + 0x9e3779b97f4a7c15) & MASK
+        z = ((z ^ (z >> 30)) * 0xbf58476d1ce4e5b9) & MASK
+        z = ((z ^ (z >> 27)) * 0x94d049bb133111eb) & MASK
+        return z ^ (z >> 31)
+    out, s = [], 0x5eed5eed5eed5eed
+    for _ in range(64):
+        s = pmix(s)
+        out.append(s)
+    return out
+
+def mix64_staged(carry, in_expr, from_clause, out_name="h"):
+    """mix64 as a chain of nested SELECTs (one vectorized column pass
+    per step — no per-row list allocation, no subexpression
+    recomputation). `carry` = columns to pass through."""
+    c = ", ".join(carry)
+    q1 = f"(SELECT {c}, (({in_expr}) + 11400714819323198485::HUGEINT) & {MASK64} AS m_z1 FROM {from_clause})"
+    q2 = f"(SELECT {c}, xor(m_z1, m_z1 >> 30) AS m_x1 FROM {q1})"
+    q3 = f"(SELECT {c}, {mulmod('m_x1', '13787848793156543929::HUGEINT')} AS m_z2 FROM {q2})"
+    q4 = f"(SELECT {c}, xor(m_z2, m_z2 >> 27) AS m_x2 FROM {q3})"
+    q5 = f"(SELECT {c}, {mulmod('m_x2', '10723151780598845931::HUGEINT')} AS m_z3 FROM {q4})"
+    return f"(SELECT {c}, xor(m_z3, m_z3 >> 31) AS {out_name} FROM {q5})"
+
+
+def duck_cosine(a, b):
+    """Twin of SparkEntry.duckCosine (bit-identical to
+    Functions.cosine_sim, proven by f4_cosine_pairs)."""
+    return (f"(list_aggregate(list_transform(list_zip({a}, {b}),"
+            f" x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+            f" / (sqrt(list_aggregate(list_transform({a},"
+            f" x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))"
+            f" * sqrt(list_aggregate(list_transform({b},"
+            f" x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))))")
+
+
+def gen_dedup_simhash():
+    """Naive all-pairs twin of Dedup.simHash (maxHamming=3): per-doc
+    64-bit SimHash over the token multiset, then every pair with
+    bit_count(xor) <= 3 — independently verifying the 4x16-bit
+    pigeonhole chunk blocking of the Spark plan."""
+    tok_hashes = f"list_transform({toks('text')}, tkh -> {hash64('tkh')})"
+    # bit b set iff strictly more token hashes have bit b than not
+    sim_u = let(tok_hashes, lambda hs:
+        f"list_reduce(list_concat([0::HUGEINT], [CASE WHEN"
+        f" 2*len(list_filter({hs}, h -> (h >> b) % 2 = 1)) > len({hs})"
+        f" THEN (1::HUGEINT << b) ELSE 0::HUGEINT END for b in range(64)]),"
+        f" (acc, x) -> acc + x)")
+    return f"""WITH sh AS MATERIALIZED (
+  SELECT doc_id, CAST({to_signed(sim_u)} AS BIGINT) AS sim FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sim, b.sim)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+ORDER BY id_a, id_b"""
+
+
+def gen_dedup_minhash_lsh():
+    """Naive all-pairs twin of Dedup.minHashLsh (numHashes=64,
+    bands=16, rowsPerBand=4, threshold=0.5): per-doc 64-long MinHash
+    signature over word-3-gram shingles; a pair is a candidate iff
+    some band's 4 signature rows are equal (the Spark side compares
+    xxhash64 of the band slice — equal slices <=> equal hashes modulo
+    negligible collisions); est_jaccard = agreeing positions / 64."""
+    seeds_rows = ", ".join(f"({i}, {s}::HUGEINT)"
+                           for i, s in enumerate(minhash_seeds()))
+    t = toks("text")
+    shingles = let(t, lambda tk:
+        f"CASE WHEN len({tk}) = 0 THEN []"
+        f" WHEN len({tk}) < 3 THEN [array_to_string({tk}, ' ')]"
+        f" ELSE [array_to_string({tk}[i+1:i+3], ' ') for i in range(len({tk})-2)] END")
+    # signature position i = SIGNED min over shingles of mix64(base ^ seed_i),
+    # computed relationally (shingle x seed rows -> min per (doc, i)) so
+    # DuckDB vectorizes the mix64 arithmetic; Long.MaxValue for an empty
+    # shingle set, as in Hashing.minHash
+    return f"""WITH sh AS (
+  SELECT doc_id, {shingles} AS shingles FROM documents
+),
+base AS (
+  SELECT doc_id, {hash64('sgl')} AS b
+  FROM (SELECT doc_id, unnest(shingles) AS sgl FROM sh)
+),
+seeds AS (SELECT * FROM (VALUES {seeds_rows}) v(i, sd)),
+mixed AS (
+  SELECT doc_id, i,
+    CASE WHEN h >= {S63} THEN h - {M64} ELSE h END AS hs
+  FROM {mix64_staged(['doc_id', 'i'], 'xor(b, sd)', '(SELECT * FROM base, seeds)')}
+),
+mh AS MATERIALIZED (SELECT doc_id, i, min(hs) AS s FROM mixed GROUP BY doc_id, i),
+-- per-position signature rows, with all-MaxValue sentinel rows for
+-- docs whose shingle set is empty (Hashing.minHash's convention)
+pos AS MATERIALIZED (
+  SELECT doc_id, i, s FROM mh
+  UNION ALL
+  SELECT d.doc_id, seeds.i, {LMAX} AS s FROM documents d, seeds
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM mh)
+),
+-- positions where two docs' signatures agree (relational: join on
+-- (position, value) — the naive-all-pairs twin of LSH banding)
+agree AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i
+  FROM pos a JOIN pos b ON a.i = b.i AND a.s = b.s AND a.doc_id < b.doc_id
+),
+cnt AS (SELECT id_a, id_b, count(*) AS n_agree FROM agree GROUP BY id_a, id_b),
+-- LSH candidate = some band (4 consecutive positions) fully agrees
+band AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT id_a, id_b FROM agree GROUP BY id_a, id_b, i // 4
+    HAVING count(*) = 4)
+)
+SELECT c.id_a, c.id_b, round(c.n_agree / 64.0, 4) AS est_jaccard
+FROM cnt c JOIN band USING (id_a, id_b)
+WHERE c.n_agree / 64.0 >= 0.5
+ORDER BY id_a, id_b"""
+
+
+def gen_ann_lsh_topk():
+    """Twin of Ann.lshTopK (k=3, nBits=12, tables=4, dim=64) over the
+    embeddings table: deterministic hyperplanes from mix64, sign-bit
+    signatures with the same sequential double accumulation, exact
+    cosine within buckets, global top-3 per query across tables."""
+    # hyperplane component: toFloat(toDouble(signed mix64((t<<42)^(b<<21)^d^0x1234abcd)) / Long.MaxValue)
+    plane_d = (f"CAST(CAST({to_signed(mix64('xor(xor(tt::HUGEINT << 42, bb::HUGEINT << 21), xor(dd::HUGEINT, 305441741::HUGEINT))'))}"
+               f" AS DOUBLE) / 9223372036854775807.0 AS FLOAT)")
+    return f"""WITH planes AS (
+  SELECT tt AS tbl, bb AS bit,
+    [{plane_d} for dd in range(64)] AS p
+  FROM range(4) t1(tt), range(12) t2(bb)
+),
+vecs AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS vec FROM embeddings
+),
+-- dot in the same order as the Scala loop: per-d double products
+-- summed d = 0..63 sequentially (list_aggregate 'sum' is ordered)
+bits AS (
+  SELECT v.id, v.vec, pl.tbl, pl.bit,
+    CASE WHEN list_aggregate(list_transform(list_zip(v.vec, pl.p),
+      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') >= 0
+    THEN (1::BIGINT << pl.bit) ELSE 0::BIGINT END AS sbit
+  FROM vecs v, planes pl
+),
+sigs AS (
+  SELECT id, any_value(vec) AS vec, tbl, sum(sbit) AS sig
+  FROM bits GROUP BY id, tbl
+),
+pairs AS (
+  SELECT a.id AS query_id, b.id AS id,
+    max({duck_cosine('a.vec', 'b.vec')}) AS cos
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.id <> b.id
+  GROUP BY a.id, b.id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, id, cos FROM (
+  SELECT query_id, id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rank
+  FROM pairs)
+WHERE rank <= 3
+ORDER BY query_id, rank"""
+
+
+def gen_ann_ivf_topk():
+    """Twin of Ann.ivfTopK (k=3, nCentroids=16, nProbe=4, nAssign=1):
+    centroids = the 16 vectors with smallest (hash64(id), id),
+    re-indexed 0..15 in id-STRING order; each corpus vector joins its
+    single nearest centroid's list (cos desc, centroid asc); queries
+    probe their 4 nearest lists; exact cosine within probed lists,
+    top-3 per query."""
+    h = hash64("CAST(vec_id AS VARCHAR)")
+    cos_vc = duck_cosine("v.vec", "c.cvec")
+    return f"""WITH vecs AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS vec FROM embeddings
+),
+seeded AS (
+  SELECT id, vec FROM (
+    SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, embedding AS vec,
+      row_number() OVER (ORDER BY {to_bigint(h)} ASC,
+                         CAST(vec_id AS VARCHAR) ASC) AS hrank
+    FROM embeddings)
+  WHERE hrank <= 16
+),
+centroids AS (
+  SELECT CAST(row_number() OVER (ORDER BY id ASC) - 1 AS INT) AS centroid,
+         vec AS cvec
+  FROM seeded
+),
+scored_assign AS (
+  SELECT v.id, v.vec, c.centroid, {cos_vc} AS cs FROM vecs v, centroids c
+),
+assigned AS (
+  SELECT id, vec, centroid FROM (
+    SELECT id, vec, centroid,
+      row_number() OVER (PARTITION BY id ORDER BY cs DESC, centroid ASC) AS rn
+    FROM scored_assign)
+  WHERE rn <= 1
+),
+probes AS (
+  SELECT id AS query_id, vec AS qvec, centroid FROM (
+    SELECT id, vec, centroid,
+      row_number() OVER (PARTITION BY id ORDER BY cs DESC, centroid ASC) AS rn
+    FROM scored_assign)
+  WHERE rn <= 4
+),
+pairs AS (
+  SELECT p.query_id, a.id, {duck_cosine('p.qvec', 'a.vec')} AS cos
+  FROM probes p JOIN assigned a
+    ON p.centroid = a.centroid AND p.query_id <> a.id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, id, round(cos, 6) AS cos FROM (
+  SELECT query_id, id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rank
+  FROM pairs)
+WHERE rank <= 3
+ORDER BY query_id, rank"""
+
+
+def gen_mm_decode():
+    """Twin of Multimodal.decode over mediaFromText(documents):
+    media_id = doc_id, kind by doc_id%3, n_bytes = UTF-8 byte length,
+    width/height = pmod(hash64(text|salt), dim)+1 (the stub trusts
+    declared dims), channels = 3, checksum = the FakeCodec FNV-style
+    fold over payload bytes from its 1469598103934665603 basis."""
+    w = let(to_bigint(hash64("text")), lambda h:
+            f"CAST((({h} % 1920) + 1920) % 1920 + 1 AS INT)")
+    hh = let(to_bigint(hash64("text || '|h'")), lambda h:
+             f"CAST((({h} % 1080) + 1080) % 1080 + 1 AS INT)")
+    cs = to_bigint(fnv1a_over(utf8_bytes("text"),
+                              basis="1469598103934665603::HUGEINT"))
+    return f"""SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(strlen(text) AS INT) AS n_bytes,
+  {w} AS width,
+  {hh} AS height,
+  CAST(3 AS INT) AS channels,
+  {cs} AS checksum
+FROM documents ORDER BY media_id"""
+
+
+def gen_mm_frame_sample():
+    """Twin of Multimodal.frameSample (everyMs=1000, maxFrames=8) on
+    the video rows (doc_id%3=2): durationMs = min(8000, n_bytes*10),
+    frame at every 1000ms; per frame the FakeCodec fold over payload
+    bytes [offset/10, min(n_bytes, offset/10+32))."""
+    slice_cs = to_bigint(fnv1a_over(
+        "bytes[fi*100 + 1 : least(len(bytes), fi*100 + 32)]",
+        basis="1469598103934665603::HUGEINT"))
+    return f"""WITH vids AS (
+  SELECT doc_id, {utf8_bytes('text')} AS bytes FROM documents
+  WHERE doc_id % 3 = 2
+),
+frames AS (
+  SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+         CAST(fi * 1000 AS INT) AS offset_ms, {slice_cs} AS frame_checksum
+  FROM (SELECT doc_id, bytes,
+          unnest(range((least(8000, len(bytes)*10) + 999) // 1000)) AS fi
+        FROM vids)
+)
+SELECT doc_id AS media_id, frame_idx, offset_ms, frame_checksum
+FROM frames ORDER BY media_id, frame_idx"""
+
+
+ORACLES = {
+    "dedup_simhash": gen_dedup_simhash,
+    "dedup_minhash_lsh": gen_dedup_minhash_lsh,
+    "ann_lsh_topk": gen_ann_lsh_topk,
+    "ann_ivf_topk": gen_ann_ivf_topk,
+    "mm_decode": gen_mm_decode,
+    "mm_frame_sample": gen_mm_frame_sample,
+}
+
+SCALA_HEADER = """package graft
+
+/** DuckDB oracle SQL for the sketch / ANN / multimodal catalog
+  * queries — GENERATED by tools/gen_sketch_oracles.py (regenerate
+  * there; do not hand-edit). Each oracle recomputes graft\'s native
+  * hashing (graft.functions.Hashing: FNV-1a 64 + splitmix64) in pure
+  * DuckDB HUGEINT arithmetic and implements the NAIVE all-pairs /
+  * exhaustive algorithm, independently cross-checking the banded,
+  * blocked, or inverted-list distributed plan on the Spark side.
+  * Verified bit-exact against the Spark outputs at sf0.01.
+  */
+object SketchOracles {
+"""
+
+def to_scala(out):
+    parts = [SCALA_HEADER.replace("\\'", "'")]
+    for name, sql in out.items():
+        assert '"""' not in sql and '$' not in sql, name
+        parts.append(f'  val {name}: String =\n"""{sql}"""\n')
+    parts.append("}\n")
+    return "\n".join(parts)
+
+if __name__ == "__main__":
+    out = {name: fn() for name, fn in ORACLES.items()}
+    dest = sys.argv[1] if len(sys.argv) > 1 else "/dev/stdout"
+    if dest.endswith(".scala"):
+        with open(dest, "w") as f:
+            f.write(to_scala(out))
+    else:
+        with open(dest, "w") as f:
+            json.dump(out, f, indent=1)
+    for k, v in out.items():
+        print(f"{k}: {len(v)} chars", file=sys.stderr)
