@@ -138,6 +138,18 @@ object SparkEntry {
     graft.fixtures.Fixtures.pvRows.map { case (c, t, n) =>
       s"('$c','${sqlQuote(t)}','$n')" }.mkString(", ")
 
+  /** Fixture NCIT vertices / CDE->VDM / VDM->PV edges as SQL VALUES
+    * (kg_graph_materialize oracle). */
+  private lazy val ncitVertexSqlValues: String =
+    graft.fixtures.Fixtures.ncitRows.map { case (c, t, _, _) =>
+      s"('$c','${sqlQuote(t)}')" }.mkString(", ")
+  private lazy val cdeVdmSqlValues: String =
+    graft.fixtures.Fixtures.cdeRows.map { case (c, t, v) =>
+      s"('$c','${sqlQuote(t)}','$v')" }.mkString(", ")
+  private lazy val vdmPvSqlValues: String =
+    graft.fixtures.Fixtures.vdmPv.toSeq.sortBy(_._1).flatMap { case (v, ps) =>
+      ps.map(p => s"('$v','$p')") }.mkString(", ")
+
   /** One PreparedDict per session for the fixture-dictionary queries:
     * preparation is the amortized-once production cost and must not be
     * re-paid per catalog query. */
@@ -678,6 +690,35 @@ object SparkEntry {
         .orderBy(col("query_id"), col("type_filter"), col("rank"))
     }),
 
+    // graph materialization round-trip (north star: partitioned
+    // vertex/edge tables replacing Neo4j serving): write the fixture
+    // dictionary graph as label-partitioned vertices + pred-partitioned
+    // edges, read back with partition-pruned label/pred filters, and
+    // return both as one (kind, a, b, c) relation. The oracle rebuilds
+    // the canonical synonym-merge map with a recursive-CTE CC over the
+    // same shares-a-surface star edges.
+    "kg_graph_materialize" -> ((s, dir) => {
+      import s.implicits._
+      val dict = graft.fixtures.Fixtures.dict(s)
+      val canonical = preparedFixture(s).canonical
+      val verts = graft.triples.Triples.vertices(s, dict, canonical)
+      val edges = graft.triples.Triples.mapsTo(s, dict)
+        .unionByName(graft.triples.Triples.sameAs(canonical))
+        .unionByName(graft.triples.Triples.hasSynonym(s, dict))
+        .as[graft.model.Triple]
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_graph_mat"
+      graft.triples.Triples.writeGraph(verts, edges, out)
+      val v = s.read.parquet(s"$out/vertices")
+        .filter($"label".isin("NCIT", "PV", "CDE"))
+        .select(concat(lit("vertex:"), $"label").as("kind"),
+          $"code".as("a"), $"term".as("b"), $"canonical".as("c"))
+      val e = s.read.parquet(s"$out/edges")
+        .filter($"pred".isin("MAPS_TO", "SAME_AS"))
+        .select(concat(lit("edge:"), $"pred").as("kind"),
+          $"subj".as("a"), $"obj".as("b"), lit(null).cast("string").as("c"))
+      v.unionByName(e).orderBy($"kind", $"a", $"b")
+    }),
+
     // IVF recall vs exact brute force at k=3 across the
     // redundancy/probe dial — one row per config, all deterministic
     // (fixed hash-seeded centroids => bit-stable at any parallelism),
@@ -1193,6 +1234,56 @@ object SparkEntry {
          |FROM j
          |ORDER BY combined_score DESC, cde_code ASC NULLS FIRST""".stripMargin
     },
+
+    // DuckDB twin of the graph-materialization round-trip: rebuild the
+    // canonical map (recursive-CTE CC over the same shares-a-surface
+    // star edges Canonicalizer derives), then emit the identical
+    // (kind, a, b, c) vertex/edge relation.
+    "kg_graph_materialize" ->
+      s"""WITH RECURSIVE surf(norm, code, ty) AS (SELECT * FROM (VALUES
+         |  $surfaceSqlValues) v(norm, code, ty)),
+         | ncit(code, term) AS (SELECT * FROM (VALUES $ncitVertexSqlValues) v(code, term)),
+         | pv(pv_code, pv_term, ncit_code) AS (
+         |   SELECT * FROM (VALUES $pvEdgeSqlValues) v(pv_code, pv_term, ncit_code)),
+         | cde(cde_code, cde_term, vdm_code) AS (
+         |   SELECT * FROM (VALUES $cdeVdmSqlValues) v(cde_code, cde_term, vdm_code)),
+         | vdmpv(vdm_code, pv_code) AS (SELECT * FROM (VALUES $vdmPvSqlValues) v(vdm_code, pv_code)),
+         | link_surf AS (SELECT DISTINCT norm, code FROM surf WHERE ty <> 'CDE'),
+         | star AS (
+         |   SELECT m.src, s.code AS dst
+         |   FROM link_surf s
+         |   JOIN (SELECT norm, min(code) AS src FROM link_surf GROUP BY norm) m USING (norm)
+         |   WHERE s.code <> m.src),
+         | und AS (SELECT src AS a, dst AS b FROM star UNION SELECT dst, src FROM star),
+         | reach(n, m) AS (
+         |   SELECT a, b FROM und
+         |   UNION
+         |   SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a WHERE u.b <> r.n),
+         | comp AS (SELECT n AS code, least(n, min(m)) AS component FROM reach GROUP BY n),
+         | allcodes(code, label, term) AS (
+         |   SELECT code, 'NCIT', term FROM ncit
+         |   UNION ALL SELECT pv_code, 'PV', pv_term FROM pv
+         |   UNION ALL SELECT cde_code, 'CDE', cde_term FROM cde),
+         | canon AS (
+         |   SELECT a.code, a.label, a.term, coalesce(c.component, a.code) AS canonical
+         |   FROM allcodes a LEFT JOIN comp c USING (code)),
+         | verts AS (
+         |   SELECT 'vertex:' || label AS kind, code AS a, term AS b, canonical AS c
+         |   FROM canon),
+         | maps_to AS (
+         |   SELECT DISTINCT 'edge:MAPS_TO' AS kind, p.ncit_code AS a,
+         |     c.cde_code AS b, CAST(NULL AS VARCHAR) AS c
+         |   FROM cde c
+         |   JOIN vdmpv vp ON c.vdm_code = vp.vdm_code
+         |   JOIN pv p ON vp.pv_code = p.pv_code),
+         | same_as AS (
+         |   SELECT 'edge:SAME_AS' AS kind, code AS a, canonical AS b,
+         |     CAST(NULL AS VARCHAR) AS c
+         |   FROM canon WHERE code <> canonical)
+         |SELECT kind, a, b, c FROM (
+         |  SELECT * FROM verts UNION ALL SELECT * FROM maps_to
+         |  UNION ALL SELECT * FROM same_as)
+         |ORDER BY kind, a, b""".stripMargin,
 
     "kg_semantic_definition" ->
       s"""WITH defs(node_type, code, term, vec) AS (SELECT * FROM (VALUES

@@ -73,4 +73,37 @@ object Triples {
     * edge table, SURVEY.md §1.3 format note). */
   def write(triples: Dataset[Triple], dir: String): Unit =
     triples.write.mode("overwrite").partitionBy("pred").parquet(dir)
+
+  /** Unified vertex table — one row per graph node across every label
+    * (the Neo4j node store flattened into a single partitioned table,
+    * reference README.md:116-124 labels NCIT/PV/CDE/VDM/DEC/OC).
+    * `canonical` applies the synonym-merge map (identity for codes
+    * outside the map — VDM/DEC/OC never participate in surface
+    * sharing). Dictionary-sized, so the canonical join broadcasts. */
+  def vertices(spark: SparkSession, dict: ConceptDict,
+               canonical: DataFrame): DataFrame = {
+    import spark.implicits._
+    def cpt(ds: Dataset[graft.model.Concept], label: String): DataFrame =
+      ds.select($"code", lit(label).as("label"), $"term", $"definition")
+    val plain = dict.vdm.select($"code", lit("VDM").as("label"), $"term",
+        lit(null).cast("string").as("definition"))
+      .unionByName(dict.dec.select($"code", lit("DEC").as("label"), $"term",
+        lit(null).cast("string").as("definition")))
+    cpt(dict.ncit, "NCIT").unionByName(cpt(dict.pv, "PV"))
+      .unionByName(cpt(dict.cde, "CDE")).unionByName(cpt(dict.oc, "OC"))
+      .unionByName(plain)
+      .join(broadcast(canonical), Seq("code"), "left")
+      .select($"code", $"label", $"term", $"definition",
+        coalesce($"canonical", $"code").as("canonical"))
+  }
+
+  /** The full graph-materialization sink (north star: partitioned
+    * vertex/edge tables replacing Neo4j serving): vertices partitioned
+    * by label, edges by pred — reads filtered on label/pred prune to
+    * exactly the partitions named (asserted in PlanSpec). Layout is
+    * format-agnostic: Iceberg in production, parquet here. */
+  def writeGraph(vertices: DataFrame, edges: Dataset[Triple], dir: String): Unit = {
+    vertices.write.mode("overwrite").partitionBy("label").parquet(s"$dir/vertices")
+    write(edges, s"$dir/edges")
+  }
 }

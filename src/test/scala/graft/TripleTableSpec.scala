@@ -25,6 +25,35 @@ class TripleTableSpec extends SparkTestBase {
     assert(q.count() > 0)
   }
 
+  test("graph materialization: label-partitioned vertices + pruned read-back") {
+    val dict = Fixtures.dict(spark)
+    val canonical = graft.canon.Canonicalizer.canonicalMap(spark, dict)
+    val verts = graft.triples.Triples.vertices(spark, dict, canonical)
+    val edges = graft.triples.Triples.mapsTo(spark, dict)
+      .unionByName(graft.triples.Triples.sameAs(canonical))
+      .as[graft.model.Triple]
+    val dir = Files.createTempDirectory("graft-graph").toString
+    graft.triples.Triples.writeGraph(verts, edges, dir)
+    val labels = new java.io.File(s"$dir/vertices").listFiles().map(_.getName)
+      .filter(_.startsWith("label=")).sorted
+    assert(labels.sameElements(Array("label=CDE", "label=DEC", "label=NCIT",
+      "label=OC", "label=PV", "label=VDM")))
+    // label filter prunes partitions
+    val v = spark.read.parquet(s"$dir/vertices").filter($"label" === "NCIT")
+    val plan = v.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(label"), plan)
+    assert(v.count() == Fixtures.ncitRows.size)
+    // canonical applies the synonym-merge: C3117 ~ C105586 (shared
+    // synonym "blood pressure elevation"), min code wins
+    val canonOf = verts.filter($"code".isin("C3117", "C105586"))
+      .select($"code", $"canonical").as[(String, String)].collect().toMap
+    assert(canonOf("C3117") == "C105586" && canonOf("C105586") == "C105586")
+    // codes outside the merge map (OC/VDM/DEC) are their own canonical
+    val oc = verts.filter($"label" === "OC").select($"code", $"canonical")
+      .as[(String, String)].collect()
+    assert(oc.nonEmpty && oc.forall { case (c, k) => c == k })
+  }
+
   test("entry() flagship returns non-empty triples (driver smoke contract)") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
