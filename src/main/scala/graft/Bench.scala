@@ -38,7 +38,22 @@ object Bench {
     preparedCache.getOrElseUpdate(spark,
       graft.dict.PreparedDict.prepare(spark, graft.fixtures.Fixtures.dict(spark)))
 
+  /** Cumulative (stealJiffies, totalJiffies) from /proc/stat — the
+    * honest contention gauge on this shared host: a high steal delta
+    * over the bench window means the hypervisor gave our vCPUs away
+    * and wall times are inflated through no fault of the plan. */
+  private[graft] def cpuStat(): (Long, Long) = {
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      val steal = if (f.length > 7) f(7) else 0L
+      (steal, f.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+  }
+
   def main(args: Array[String]): Unit = {
+    val stat0 = cpuStat()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-bench")
@@ -79,10 +94,16 @@ object Bench {
     val failed = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, None) => v }.sum
+    val stat1 = cpuStat()
+    val stealPct =
+      if (stat1._2 > stat0._2)
+        100.0 * (stat1._1 - stat0._1) / (stat1._2 - stat0._2)
+      else 0.0
     val json =
       s"""{"metric":"kg_turns_per_sec","value":${f"$turnsPerSec%.1f"},"unit":"turns/sec",""" +
       s""""pipeline_turns":$nTurns,"pipeline_sec":${f"$pipeSec%.3f"},"pipeline_triples":$nTriples,""" +
       s""""queries_total_sec":${f"$total%.3f"},"system_load_avg":${f"$loadAvg%.1f"},""" +
+      s""""host_steal_pct":${f"$stealPct%.1f"},""" +
       s""""queries_failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // also land the line in a file: sbt's [info] log prefix on stdout

@@ -42,8 +42,13 @@ object Scaling {
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "160000").toLong
     sys.env.get("SPARK_GRAFT_SCALE_CORES") match {
       case Some(c) =>
+        val stat0 = Bench.cpuStat()
         val (turns, sec) = throughputAt(c.toInt, nConvs)
-        println(s"""{"cores":$c,"turns":$turns,"sec":${f"$sec%.3f"},"turns_per_sec":${f"${turns / sec}%.1f"}}""")
+        val stat1 = Bench.cpuStat()
+        val stealPct = if (stat1._2 > stat0._2)
+          100.0 * (stat1._1 - stat0._1) / (stat1._2 - stat0._2) else 0.0
+        println(s"""{"cores":$c,"turns":$turns,"sec":${f"$sec%.3f"},""" +
+          s""""turns_per_sec":${f"${turns / sec}%.1f"},"host_steal_pct":${f"$stealPct%.1f"}}""")
       case None =>
         val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
         val (turnsLo, secLo) = throughputAt(n, nConvs)

@@ -707,7 +707,10 @@ object SparkEntry {
         .unionByName(graft.triples.Triples.hasSynonym(s, dict))
         .as[graft.model.Triple]
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_graph_mat"
-      graft.triples.Triples.writeGraph(verts, edges, out)
+      // fixture graph is dictionary-sized: single-task writes (the
+      // production path keeps the incoming partitioning)
+      graft.triples.Triples.writeGraph(verts.repartition(1),
+        edges.repartition(1), out)
       val v = s.read.parquet(s"$out/vertices")
         .filter($"label".isin("NCIT", "PV", "CDE"))
         .select(concat(lit("vertex:"), $"label").as("kind"),

@@ -23,5 +23,7 @@ print(json.dumps({
     "metric": "scaling_efficiency", "value": round(eff, 3), "unit": "ratio",
     "cores_lo": lo["cores"], "cores_hi": hi["cores"], "turns": lo["turns"],
     "sec_lo": lo["sec"], "sec_hi": hi["sec"],
-    "turns_per_sec_lo": lo["turns_per_sec"], "turns_per_sec_hi": hi["turns_per_sec"]}))
+    "turns_per_sec_lo": lo["turns_per_sec"], "turns_per_sec_hi": hi["turns_per_sec"],
+    "host_steal_pct_lo": lo.get("host_steal_pct"),
+    "host_steal_pct_hi": hi.get("host_steal_pct")}))
 EOF
