@@ -46,7 +46,7 @@ object Pipeline {
         sum(when($"stage" <= 3, 1).otherwise(0)).as("n_exact"),
         sum(when($"stage" === 4, 1).otherwise(0)).as("n_fuzzy"),
         sum(when($"stage" === 5, 1).otherwise(0)).as("n_semantic"))
-    val triples = Triples.all(spark, links, prepared.dict, prepared.canonical)
+    val triples = Triples.all(spark, links, prepared)
     Result(mentions, links, prepared.canonical, triples)
   }
 

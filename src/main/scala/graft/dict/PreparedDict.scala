@@ -21,13 +21,16 @@ final case class PreparedDict(
     fuzzySurfaces: DataFrame,                    // (norm, code, ctype) unified term-search table
     fuzzyTokens: DataFrame,                      // (ctype, code, surf_norm, token, idf, surf_w)
     fuzzyTokensAny: DataFrame,                   // same, deduped across ctype (no ctype col)
+    idfTable: DataFrame,                         // (token, idf) — distinct, for query-side weighting
     maxIdf: Double,                              // idf assigned to tokens unseen in the dictionary
     vecs: Broadcast[Array[(String, Array[Float])]], // L2-normalized, terms >= MinCosineLen chars
     surfaces: Broadcast[Array[(String, String)]],   // (norm, code) for edit-distance scan
     defs: Broadcast[Array[(String, String, String, String, Array[Float])]],
                                                  // (ctype, code, term, definition, defVec) — raw
                                                  // (un-normalized) vectors for double-exact cosine
-    canonical: DataFrame)                        // (code, canonical)
+    canonical: DataFrame,                        // (code, canonical)
+    dictTriples: DataFrame)                      // (subj, pred, obj) — dictionary-derived
+                                                 // MAPS_TO / HAS_SYNONYM / SAME_AS edges
 
 object PreparedDict {
 
@@ -85,6 +88,8 @@ object PreparedDict {
       .select($"code", $"surf_norm", $"token", $"idf", $"surf_w")
       .distinct().cache()
     fuzzyTokensAny.count()
+    val idfTable = idf.cache()
+    idfTable.count()
 
     val dictVecs = dict.ncit.select(graft.Functions.norm_text($"term").as("norm"), $"code", $"embedding")
       .unionByName(dict.pv.select(graft.Functions.norm_text($"term").as("norm"), $"code", $"embedding"))
@@ -116,8 +121,17 @@ object PreparedDict {
 
     val canonical = graft.canon.Canonicalizer.canonicalMap(spark, dict).cache()
     canonical.count()
-    PreparedDict(dict, ac, resolution, fuzzy, fuzzyTokens, fuzzyTokensAny, maxIdf,
-      bcVecs, bcSurf, bcDefs, canonical)
+    // dictionary-derived triples are STATIC per dictionary: derive the
+    // MAPS_TO chain flatten, synonym edges, and canonical merges once
+    // here, not once per transcript batch (a per-batch pipeline run
+    // must only pay corpus-proportional work)
+    val dictTriples = graft.triples.Triples.mapsTo(spark, dict)
+      .unionByName(graft.triples.Triples.hasSynonym(spark, dict))
+      .unionByName(graft.triples.Triples.sameAs(canonical))
+      .cache()
+    dictTriples.count()
+    PreparedDict(dict, ac, resolution, fuzzy, fuzzyTokens, fuzzyTokensAny,
+      idfTable, maxIdf, bcVecs, bcSurf, bcDefs, canonical, dictTriples)
   }
 
   private def l2(v: Array[Float]): Array[Float] = {

@@ -224,7 +224,7 @@ object MatchLadder {
       case Some(t) => prepared.fuzzyTokens.filter($"ctype" === t).drop("ctype")
       case None => prepared.fuzzyTokensAny
     }
-    val idfMap = prepared.fuzzyTokensAny.select($"token", $"idf").distinct()
+    val idfMap = prepared.idfTable
     // W_Q includes tokens matching NO surface (they must dilute) —
     // carried alongside every token row via a window sum, so no
     // second query-side join is ever needed (idf values are dyadic,

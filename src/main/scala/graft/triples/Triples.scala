@@ -68,6 +68,17 @@ object Triples {
       .as[Triple]
   }
 
+  /** Per-batch form: dictionary-derived triples come precomputed from
+    * [[graft.dict.PreparedDict]] so a transcript batch pays only the
+    * corpus-proportional LINKED_TO derivation. */
+  def all(spark: SparkSession, links: Dataset[Link],
+          prepared: graft.dict.PreparedDict): Dataset[Triple] = {
+    import spark.implicits._
+    linkedTo(links, prepared.canonical)
+      .unionByName(prepared.dictTriples)
+      .as[Triple]
+  }
+
   /** Materialize as a pred-partitioned edge table (partition pruning
     * by predicate at read time; on a real cluster this is the Iceberg
     * edge table, SURVEY.md §1.3 format note). */
