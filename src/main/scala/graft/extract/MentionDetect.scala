@@ -26,17 +26,20 @@ object MentionDetect {
 
   private val Quoted = "\"([^\"]{1,64})\"".r
 
-  def mentionsOf(ac: AhoCorasick, t: Turn): Iterator[Mention] = {
-    val text = t.text
+  def mentionsOf(ac: AhoCorasick, t: Turn): Iterator[Mention] =
+    matchesIn(ac, t.conv_id, t.turn_idx, t.text)
+
+  def matchesIn(ac: AhoCorasick, convId: String, turnIdx: Int,
+                text: String): Iterator[Mention] = {
     if (text == null || text.isEmpty) return Iterator.empty
     val dictHits = ac.findMatches(text).map { case (b, e) =>
-      Mention(t.conv_id, t.turn_idx, b, e, text.substring(b, e),
+      Mention(convId, turnIdx, b, e, text.substring(b, e),
         Hashing.norm(text.substring(b, e)), "dict")
     }
     val dictSpans = dictHits.iterator.map(m => (m.begin, m.end)).toSet
     val valueHits = Quoted.findAllMatchIn(text).map { m =>
       val b = m.start(1); val e = m.end(1)
-      Mention(t.conv_id, t.turn_idx, b, e, text.substring(b, e),
+      Mention(convId, turnIdx, b, e, text.substring(b, e),
         Hashing.norm(text.substring(b, e)), "value")
     }.filterNot(m => dictSpans.contains((m.begin, m.end)))
     dictHits.iterator ++ valueHits
@@ -44,6 +47,14 @@ object MentionDetect {
 
   def detect(turns: Dataset[Turn], ac: Broadcast[AhoCorasick]): Dataset[Mention] = {
     import turns.sparkSession.implicits._
-    turns.flatMap(t => mentionsOf(ac.value, t))
+    // project to the three columns the matcher reads BEFORE the
+    // flatMap: the narrow select reaches the parquet scan (ReadSchema
+    // prunes role/tool/ts) and the per-turn decode stops allocating
+    // a Timestamp + two strings per row that nobody uses
+    turns.select(turns("conv_id"), turns("turn_idx"), turns("text"))
+      .as[(String, Int, String)]
+      .flatMap { case (cid, ti, text) =>
+        matchesIn(ac.value, cid, ti, text)
+      }
   }
 }

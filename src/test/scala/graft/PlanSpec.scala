@@ -24,6 +24,20 @@ class PlanSpec extends SparkTestBase {
       p.contains("p_partkey") && !p.contains("p_retailprice"), p)
   }
 
+  test("mention detect prunes the transcript scan to conv_id/turn_idx/text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-turns").toString
+    Fixtures.transcripts(spark, 5, 4).write.mode("overwrite").parquet(dir)
+    val turns = spark.read.parquet(dir).as[graft.model.Turn]
+    val ac = Fixtures.dict(spark).broadcastAutomaton(spark)
+    val p = graft.extract.MentionDetect.detect(turns, ac)
+      .queryExecution.executedPlan.toString
+    // the narrow projection must reach the file scan: role/tool/ts
+    // never leave the parquet footer
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("conv_id") && read.contains("text"), p)
+    assert(!read.contains("role") && !read.contains("tool") && !read.contains("ts,"), p)
+  }
+
   test("small-dim joins broadcast; no sort-merge on dimension tables") {
     val p = plan("j2_join_2hop")
     assert(p.contains("BroadcastHashJoin"), p)
