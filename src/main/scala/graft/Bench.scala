@@ -40,7 +40,10 @@ object Bench {
   private val stagedDirs = scala.collection.mutable.Map.empty[(SparkSession, Long), String]
   private def stagedTurns(spark: SparkSession, nConvs: Long): String =
     stagedDirs.getOrElseUpdate((spark, nConvs), {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_turns_$nConvs"
+      // PID in the path: two concurrent bench JVMs must never overwrite
+      // each other's staged corpus mid-read
+      val pid = ProcessHandle.current().pid()
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_turns_${pid}_$nConvs"
       graft.fixtures.Fixtures.transcripts(spark, nConvs, 8)
         .write.mode("overwrite").parquet(dir)
       dir
@@ -62,9 +65,27 @@ object Bench {
         .find(_.startsWith("cpu ")).getOrElse("")
       val f = line.trim.split("\\s+").drop(1).map(_.toLong)
       val steal = if (f.length > 7) f(7) else 0L
-      (steal, f.sum)
+      // fields 8-9 (guest, guest_nice) are already folded into
+      // user/nice by the kernel — summing them double-counts the
+      // denominator and understates steal
+      (steal, f.take(8).sum)
     } catch { case _: Throwable => (0L, 0L) }
   }
+
+  /** One timed pipeline attempt with its own contention context:
+    * steal measured over exactly the attempt's window, load sampled
+    * at the end. */
+  final case class Attempt(turns: Long, sec: Double, triples: Long,
+                           stealPct: Double, load: Double)
+
+  private def loadAvg(): Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Steal %% gate for a credible attempt: this host has multi-minute
+    * hypervisor-throttle windows that inflate wall times up to 3x
+    * (documented in BENCH/BASELINE.md); steal above ~2%% over the
+    * attempt's own window marks the measurement contaminated. */
+  val StealGatePct = 2.0
 
   def main(args: Array[String]): Unit = {
     val stat0 = cpuStat()
@@ -72,21 +93,43 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-bench")
 
-    // headline: KG throughput (warm-up run, then min of 2 measured
-    // runs — this box is shared with the bench driver and external
-    // load can triple wall times; min is the least-noise estimator)
+    // headline: KG throughput. An attempt is measured together with
+    // the host steal over ITS OWN window; attempts retry across
+    // contention windows until one is clean (or the budget runs out),
+    // and every attempt is emitted in the JSON so a noisy headline is
+    // self-explaining rather than silently wrong (round-2 lesson: the
+    // official number was taken in a 7% steal window and read as an
+    // 11.8x regression of code that had actually gotten faster).
     val nConvs = benchCorpusConvs(sfDir)
     // dev: SPARK_GRAFT_BENCH_ONLY shrinks the pipeline phase to the
     // warm-up corpus so a single query can be timed in isolation
     val devOnly = sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
     val pipeConvs = if (devOnly) math.max(50L, nConvs / 10) else nConvs
     runPipeline(spark, math.max(50L, nConvs / 10)) // warm-up: JIT + codegen
-    val (nTurns, pipeSec1, nTriples) = runPipeline(spark, pipeConvs)
-    val (_, pipeSec2, _) = runPipeline(spark, pipeConvs)
-    val pipeSec = math.min(pipeSec1, pipeSec2)
+
+    def attemptOnce(): Attempt = {
+      val s0 = cpuStat()
+      val (t, sec, tr) = runPipeline(spark, pipeConvs)
+      val s1 = cpuStat()
+      val st = if (s1._2 > s0._2)
+        100.0 * (s1._1 - s0._1) / (s1._2 - s0._2) else 0.0
+      Attempt(t, sec, tr, st, loadAvg())
+    }
+    val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
+      .map(_.toInt).getOrElse(4)
+    val attempts = scala.collection.mutable.ArrayBuffer(attemptOnce(), attemptOnce())
+    while (attempts.size < maxAttempts && !attempts.exists(_.stealPct < StealGatePct)) {
+      Thread.sleep(3000) // let the contention window move on
+      attempts += attemptOnce()
+    }
+    val clean = attempts.filter(_.stealPct < StealGatePct)
+    val contended = clean.isEmpty
+    val best = (if (contended) attempts else clean).minBy(_.sec)
+    val (nTurns, pipeSec, nTriples) = (best.turns, best.sec, best.triples)
     val turnsPerSec = nTurns / pipeSec
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val attemptsJson = attempts.map(a =>
+      s"""{"sec":${f"${a.sec}%.3f"},"steal_pct":${f"${a.stealPct}%.1f"},""" +
+      s""""load":${f"${a.load}%.1f"}}""").mkString("[", ",", "]")
 
     // per-query timings on the driver testdata: min of 2 runs (first
     // doubles as plan/JIT warm-up) — single-shot timings on this
@@ -97,20 +140,39 @@ object Bench {
     // (the driver never sets it — full catalog by default)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+    def queryPass(): Seq[(String, Double, Option[String])] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        try {
+          val t = math.min(once(), once())
+          (name, t, None: Option[String])
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+          (name, -1.0, Some(e.getClass.getSimpleName))
+        }
       }
-      try {
-        val t = math.min(once(), once())
-        (name, t, None: Option[String])
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
-        (name, -1.0, Some(e.getClass.getSimpleName))
+    // query phase under the same steal gate: if the whole pass ran in
+    // a contended window, run one more pass and keep per-query minima
+    val qStat0 = cpuStat()
+    var results = queryPass()
+    val qStat1 = cpuStat()
+    val qSteal = if (qStat1._2 > qStat0._2)
+      100.0 * (qStat1._1 - qStat0._1) / (qStat1._2 - qStat0._2) else 0.0
+    if (qSteal >= StealGatePct &&
+        !sys.env.contains("SPARK_GRAFT_BENCH_NO_QUERY_RETRY")) {
+      val retry = queryPass().map { case (n, t, e) => n -> (t, e) }.toMap
+      results = results.map { case (n, t, e) =>
+        retry.get(n) match {
+          case Some((t2, e2)) if e.isEmpty && e2.isEmpty => (n, math.min(t, t2), e)
+          case Some((t2, None)) => (n, t2, None) // first pass failed, retry passed
+          case _ => (n, t, e)
+        }
       }
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
@@ -126,7 +188,10 @@ object Bench {
     val json =
       s"""{"metric":"kg_turns_per_sec","value":${f"$turnsPerSec%.1f"},"unit":"turns/sec",""" +
       s""""pipeline_turns":$nTurns,"pipeline_sec":${f"$pipeSec%.3f"},"pipeline_triples":$nTriples,""" +
-      s""""queries_total_sec":${f"$total%.3f"},"system_load_avg":${f"$loadAvg%.1f"},""" +
+      s""""pipeline_attempts":$attemptsJson,"pipeline_contended":$contended,""" +
+      (if (devOnly) s""""dev_only":true,""" else "") +
+      s""""queries_total_sec":${f"$total%.3f"},"queries_steal_pct":${f"$qSteal%.1f"},""" +
+      s""""system_load_avg":${f"${loadAvg()}%.1f"},""" +
       s""""host_steal_pct":${f"$stealPct%.1f"},""" +
       s""""queries_failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     println(json)

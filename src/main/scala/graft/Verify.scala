@@ -21,6 +21,19 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
+    // when the subset filter is active, invalidate the UNSELECTED
+    // queries' stale parquet in outDir: a later full oracle compare
+    // must never silently mix outputs from different code versions
+    if (only.isDefined) {
+      SparkEntry.queries.keys.filterNot(selected.contains).foreach { n =>
+        val d = Paths.get(outDir, n)
+        if (Files.exists(d)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+      }
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

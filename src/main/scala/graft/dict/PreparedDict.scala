@@ -24,13 +24,41 @@ final case class PreparedDict(
     idfTable: DataFrame,                         // (token, idf) — distinct, for query-side weighting
     maxIdf: Double,                              // idf assigned to tokens unseen in the dictionary
     vecs: Broadcast[Array[(String, Array[Float])]], // L2-normalized, terms >= MinCosineLen chars
-    surfaces: Broadcast[Array[(String, String)]],   // (norm, code) for edit-distance scan
+    surfaces: Broadcast[SurfaceLengthIndex],        // length-bucketed (norm, code) edit-distance index
     defs: Broadcast[Array[(String, String, String, String, Array[Float])]],
                                                  // (ctype, code, term, definition, defVec) — raw
                                                  // (un-normalized) vectors for double-exact cosine
     canonical: DataFrame,                        // (code, canonical)
     dictTriples: DataFrame)                      // (subj, pred, obj) — dictionary-derived
                                                  // MAPS_TO / HAS_SYNONYM / SAME_AS edges
+
+/** Length-bucketed (norm surface, code) index for the bounded-edit-
+  * distance ladder stage: `byLen(L)` holds every surface of exactly
+  * L chars. A residue mention of length n compares only against
+  * buckets n-2..n+2 (the edit cutoff — any surface outside them is
+  * unreachable within distance 2), turning the per-mention scan from
+  * O(|dictionary|) into O(|surfaces within +-2 of n|). Output is
+  * identical to the flat scan: the flat version skipped exactly these
+  * surfaces via a per-element length guard, and the per-code max it
+  * feeds is order-independent. */
+final class SurfaceLengthIndex(val byLen: Array[Array[(String, String)]])
+    extends Serializable {
+  @inline def bucket(len: Int): Array[(String, String)] =
+    if (len >= 0 && len < byLen.length) byLen(len)
+    else SurfaceLengthIndex.EmptyBucket
+  def totalSurfaces: Int = { var n = 0; byLen.foreach(n += _.length); n }
+}
+
+object SurfaceLengthIndex {
+  private val EmptyBucket = Array.empty[(String, String)]
+  def build(surfaces: Array[(String, String)]): SurfaceLengthIndex = {
+    val maxLen = surfaces.foldLeft(0)((m, s) => math.max(m, s._1.length))
+    val buckets = Array.fill(maxLen + 1)(
+      scala.collection.mutable.ArrayBuffer.empty[(String, String)])
+    surfaces.foreach(s => buckets(s._1.length) += s)
+    new SurfaceLengthIndex(buckets.map(_.toArray))
+  }
+}
 
 object PreparedDict {
 
@@ -100,10 +128,13 @@ object PreparedDict {
       .sortBy(_._1).map { case (c, v) => (c, l2(v)) }
     val bcVecs = spark.sparkContext.broadcast(dictVecs)
 
-    // all linkable surfaces for the bounded-edit-distance scan
+    // all linkable surfaces for the bounded-edit-distance scan,
+    // bucketed by length: a mention only ever scans lengths within
+    // the edit cutoff (+-2) — ~20-50x fewer candidate iterations than
+    // a flat scan on a 10^5-surface dictionary, identical output
     val surfArr = fuzzy.select($"norm", $"code")
       .distinct().as[(String, String)].collect().sortBy(identity)
-    val bcSurf = spark.sparkContext.broadcast(surfArr)
+    val bcSurf = spark.sparkContext.broadcast(SurfaceLengthIndex.build(surfArr))
 
     // definition-embedding matrix for the description retrievers
     // (reference cdeIndex/ncitIndex over node.definition,
@@ -134,7 +165,7 @@ object PreparedDict {
       idfTable, maxIdf, bcVecs, bcSurf, bcDefs, canonical, dictTriples)
   }
 
-  private def l2(v: Array[Float]): Array[Float] = {
+  private[graft] def l2(v: Array[Float]): Array[Float] = {
     var n = 0.0; var i = 0
     while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
     if (n == 0.0) v

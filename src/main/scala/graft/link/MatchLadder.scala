@@ -139,19 +139,25 @@ object MatchLadder {
             if (score > cur) best(code) = score
           }
         }
-        // bounded edit distance over all surfaces (cutoff 2)
-        val surfaces = bcSurf.value
-        var i = 0
-        while (i < surfaces.length) {
-          val (snorm, code) = surfaces(i)
-          if (math.abs(snorm.length - norm.length) <= 2) {
+        // bounded edit distance (cutoff 2) over the length-bucketed
+        // surface index: only lengths within +-2 are reachable, so
+        // only those buckets are scanned (SurfaceLengthIndex scaladoc)
+        val idx = bcSurf.value
+        var len = math.max(0, norm.length - 2)
+        val maxLen = norm.length + 2
+        while (len <= maxLen) {
+          val surfaces = idx.bucket(len)
+          var i = 0
+          while (i < surfaces.length) {
+            val (snorm, code) = surfaces(i)
             val d = graft.functions.EditDistance.bounded(norm, snorm, 2)
             if (d > 0) { // d == 0 impossible: exact surfaces resolved at stages 1-3
               val sim = 1.0 - d.toDouble / math.max(norm.length, snorm.length)
               if (sim >= minS && sim > best.getOrElse(code, 0.0)) best(code) = sim
             }
+            i += 1
           }
-          i += 1
+          len += 1
         }
         best.toSeq.sortBy { case (c, s) => (-s, c) }.take(k)
           .map { case (code, score) => (cid, ti, b, e, surf, code, 5, score) }

@@ -22,13 +22,26 @@ import graft.link.BroadcastKnn
   */
 object Ann {
 
+  /** Hard ceiling on the corpus rows [[bruteForceTopK]] will broadcast
+    * — the broadcastability contract made executable. ~2M x 64-float
+    * vectors ≈ 600 MB of broadcast, already past comfortable; a corpus
+    * beyond it must go through [[lshTopK]] / [[ivfTopK]] instead. */
+  val MaxBroadcastCorpus = 2000000L
+
   /** Exact cosine top-k of `queries` against broadcast `corpus`.
     * Inputs: (id, vec) DataFrames. Output: (query_id, rank, id, cos).
     * Cosine is computed in full double precision per pair (no float
-    * pre-normalization) so scores are bit-stable and oracle-exact. */
+    * pre-normalization) so scores are bit-stable and oracle-exact.
+    * Per query the scored corpus goes through a bounded heap —
+    * O(C log k), not a full O(C log C) sort of all C scores. */
   def bruteForceTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
-                     k: Int, excludeSelf: Boolean = true): DataFrame = {
+                     k: Int, excludeSelf: Boolean = true,
+                     maxBroadcast: Long = MaxBroadcastCorpus): DataFrame = {
     import spark.implicits._
+    val nCorpus = corpus.count()
+    require(nCorpus <= maxBroadcast,
+      s"bruteForceTopK corpus has $nCorpus rows > $maxBroadcast: " +
+        "too large to broadcast — use Ann.lshTopK or Ann.ivfTopK")
     val corpusArr: Array[(String, Array[Float])] = corpus
       .select(col("id").cast("string"), col("vec"))
       .as[(String, Array[Float])].collect().sortBy(_._1)
@@ -38,12 +51,28 @@ object Ann {
     queries.select(col("id").cast("string"), col("vec"))
       .as[(String, Array[Float])]
       .flatMap { case (qid, qv) =>
-        val scored = bc.value.iterator
-          .filter { case (cid, _) => !ex || cid != qid }
-          .map { case (cid, cv) =>
-            (cid, graft.functions.VectorMath.cosine(qv, cv))
+        // min-heap of size k, worst candidate on top; ties prefer
+        // evicting the LARGER id so the surviving set and its
+        // (cos DESC, id ASC) order match the oracle's row_number
+        val heap = new java.util.PriorityQueue[(String, Double)](kk + 1,
+          (a: (String, Double), b: (String, Double)) => {
+            val c = java.lang.Double.compare(a._2, b._2)
+            if (c != 0) c else b._1.compareTo(a._1)
+          })
+        val arr = bc.value
+        var i = 0
+        while (i < arr.length) {
+          val (cid, cv) = arr(i)
+          if (!ex || cid != qid) {
+            val s = graft.functions.VectorMath.cosine(qv, cv)
+            heap.add((cid, s))
+            if (heap.size > kk) heap.poll()
           }
-        val top = scored.toArray.sortBy { case (c, s) => (-s, c) }.take(kk)
+          i += 1
+        }
+        val top = new Array[(String, Double)](heap.size)
+        var j = heap.size - 1
+        while (j >= 0) { top(j) = heap.poll(); j -= 1 }
         top.zipWithIndex.map { case ((cid, s), r) => (qid, r + 1, cid, s) }
       }
       .toDF("query_id", "rank", "id", "cos")

@@ -80,6 +80,36 @@ class OpsSpec extends SparkTestBase {
     assert(res(0)._4 > 0.99 && res(1)._4 == 0.0)
   }
 
+  test("brute-force ann: heap ordering matches full sort incl. ties") {
+    // many exact score ties (duplicate vectors) — the bounded heap's
+    // eviction order must reproduce (cos DESC, id ASC) exactly
+    val vecs = (0 until 40).map { i =>
+      (f"v$i%02d", Array(1.0f, (i % 4) * 0.1f, 0.0f))
+    }.toDF("id", "vec")
+    val res = Ann.bruteForceTopK(spark, vecs, vecs, k = 5)
+      .as[(String, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    res.foreach { case (qid, rows) =>
+      val full = (0 until 40).map(i => (f"v$i%02d", Array(1.0f, (i % 4) * 0.1f, 0.0f)))
+        .filter(_._1 != qid)
+        .map { case (cid, cv) =>
+          val qv = Array(1.0f, (qid.drop(1).toInt % 4) * 0.1f, 0.0f)
+          (cid, graft.functions.VectorMath.cosine(qv, cv))
+        }
+        .sortBy { case (c, s) => (-s, c) }.take(5)
+      assert(rows.map(r => (r._3, r._4)).toSeq == full, s"query $qid")
+    }
+  }
+
+  test("brute-force ann refuses a corpus beyond the broadcast ceiling") {
+    val vecs = (0 until 20).map(i => (i.toString, Array(1.0f, i.toFloat)))
+      .toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Ann.bruteForceTopK(spark, vecs, vecs, k = 2, maxBroadcast = 10L)
+    }
+    assert(e.getMessage.contains("too large to broadcast"), e.getMessage)
+  }
+
   test("lsh ann recalls obvious neighbors") {
     val n = 40
     val vecs = (0 until n).map { i =>

@@ -35,7 +35,8 @@ class PlanSpec extends SparkTestBase {
     // never leave the parquet footer
     val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
     assert(read.contains("conv_id") && read.contains("text"), p)
-    assert(!read.contains("role") && !read.contains("tool") && !read.contains("ts,"), p)
+    // "ts:" (not "ts,") also catches ts surviving as the LAST ReadSchema field
+    assert(!read.contains("role") && !read.contains("tool") && !read.contains("ts:"), p)
   }
 
   test("small-dim joins broadcast; no sort-merge on dimension tables") {
