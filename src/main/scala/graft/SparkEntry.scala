@@ -150,6 +150,12 @@ object SparkEntry {
     graft.fixtures.Fixtures.vdmPv.toSeq.sortBy(_._1).flatMap { case (v, ps) =>
       ps.map(p => s"('$v','$p')") }.mkString(", ")
 
+  /** Fixture CDE->DEC->OC chain as SQL VALUES (base-edge + OC/DEC
+    * vertex twin for the kg_graph_materialize oracle). */
+  private lazy val decOcSqlValues: String =
+    graft.fixtures.Fixtures.decOc.map { case (cde, dec, oc, ocTerm) =>
+      s"('$cde','$dec','$oc','${sqlQuote(ocTerm)}')" }.mkString(", ")
+
   /** One PreparedDict per session for the fixture-dictionary queries:
     * preparation is the amortized-once production cost and must not be
     * re-paid per catalog query. */
@@ -691,12 +697,16 @@ object SparkEntry {
     }),
 
     // graph materialization round-trip (north star: partitioned
-    // vertex/edge tables replacing Neo4j serving): write the fixture
-    // dictionary graph as label-partitioned vertices + pred-partitioned
-    // edges, read back with partition-pruned label/pred filters, and
-    // return both as one (kind, a, b, c) relation. The oracle rebuilds
-    // the canonical synonym-merge map with a recursive-CTE CC over the
-    // same shares-a-surface star edges.
+    // vertex/edge tables replacing Neo4j serving): write the COMPLETE
+    // fixture dictionary graph — all 7 reference labels incl. SYN, the
+    // derived MAPS_TO/SAME_AS edges AND the base structural edges
+    // (HAS_CONCEPT/HAS_VDM/HAS_PV/HAS_DEC/HAS_OC, reference
+    // semantic_retrievers.py:108-109,224) — as label-partitioned
+    // vertices + pred-partitioned edges, read both back, and return
+    // one (kind, a, b, c) relation. The oracle rebuilds the canonical
+    // synonym-merge map with a recursive-CTE CC over the same
+    // shares-a-surface star edges and re-derives every edge kind from
+    // the fixture VALUES.
     "kg_graph_materialize" -> ((s, dir) => {
       import s.implicits._
       val dict = graft.fixtures.Fixtures.dict(s)
@@ -705,6 +715,7 @@ object SparkEntry {
       val edges = graft.triples.Triples.mapsTo(s, dict)
         .unionByName(graft.triples.Triples.sameAs(canonical))
         .unionByName(graft.triples.Triples.hasSynonym(s, dict))
+        .unionByName(graft.triples.Triples.baseEdges(s, dict))
         .as[graft.model.Triple]
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_graph_mat"
       // fixture graph is dictionary-sized: single-task writes (the
@@ -712,11 +723,9 @@ object SparkEntry {
       graft.triples.Triples.writeGraph(verts.repartition(1),
         edges.repartition(1), out)
       val v = s.read.parquet(s"$out/vertices")
-        .filter($"label".isin("NCIT", "PV", "CDE"))
         .select(concat(lit("vertex:"), $"label").as("kind"),
           $"code".as("a"), $"term".as("b"), $"canonical".as("c"))
       val e = s.read.parquet(s"$out/edges")
-        .filter($"pred".isin("MAPS_TO", "SAME_AS"))
         .select(concat(lit("edge:"), $"pred").as("kind"),
           $"subj".as("a"), $"obj".as("b"), lit(null).cast("string").as("c"))
       v.unionByName(e).orderBy($"kind", $"a", $"b")
@@ -1241,7 +1250,8 @@ object SparkEntry {
     // DuckDB twin of the graph-materialization round-trip: rebuild the
     // canonical map (recursive-CTE CC over the same shares-a-surface
     // star edges Canonicalizer derives), then emit the identical
-    // (kind, a, b, c) vertex/edge relation.
+    // (kind, a, b, c) relation over ALL 7 vertex labels and ALL edge
+    // kinds (derived MAPS_TO/SAME_AS + base HAS_* + HAS_SYNONYM).
     "kg_graph_materialize" ->
       s"""WITH RECURSIVE surf(norm, code, ty) AS (SELECT * FROM (VALUES
          |  $surfaceSqlValues) v(norm, code, ty)),
@@ -1251,6 +1261,9 @@ object SparkEntry {
          | cde(cde_code, cde_term, vdm_code) AS (
          |   SELECT * FROM (VALUES $cdeVdmSqlValues) v(cde_code, cde_term, vdm_code)),
          | vdmpv(vdm_code, pv_code) AS (SELECT * FROM (VALUES $vdmPvSqlValues) v(vdm_code, pv_code)),
+         | decoc(cde_code, dec_code, oc_code, oc_term) AS (
+         |   SELECT * FROM (VALUES $decOcSqlValues) v(cde_code, dec_code, oc_code, oc_term)),
+         | syn(code, term) AS (SELECT * FROM (VALUES $synonymSqlValues) v(code, term)),
          | link_surf AS (SELECT DISTINCT norm, code FROM surf WHERE ty <> 'CDE'),
          | star AS (
          |   SELECT m.src, s.code AS dst
@@ -1266,7 +1279,11 @@ object SparkEntry {
          | allcodes(code, label, term) AS (
          |   SELECT code, 'NCIT', term FROM ncit
          |   UNION ALL SELECT pv_code, 'PV', pv_term FROM pv
-         |   UNION ALL SELECT cde_code, 'CDE', cde_term FROM cde),
+         |   UNION ALL SELECT cde_code, 'CDE', cde_term FROM cde
+         |   UNION ALL SELECT DISTINCT vdm_code, 'VDM', 'value domain ' || vdm_code FROM cde
+         |   UNION ALL SELECT DISTINCT dec_code, 'DEC', 'data element concept ' || dec_code FROM decoc
+         |   UNION ALL SELECT DISTINCT oc_code, 'OC', oc_term FROM decoc
+         |   UNION ALL SELECT DISTINCT term, 'SYN', term FROM syn),
          | canon AS (
          |   SELECT a.code, a.label, a.term, coalesce(c.component, a.code) AS canonical
          |   FROM allcodes a LEFT JOIN comp c USING (code)),
@@ -1282,10 +1299,22 @@ object SparkEntry {
          | same_as AS (
          |   SELECT 'edge:SAME_AS' AS kind, code AS a, canonical AS b,
          |     CAST(NULL AS VARCHAR) AS c
-         |   FROM canon WHERE code <> canonical)
+         |   FROM canon WHERE code <> canonical),
+         | base_edges AS (
+         |   SELECT DISTINCT 'edge:HAS_CONCEPT' AS kind, pv_code AS a,
+         |     ncit_code AS b, CAST(NULL AS VARCHAR) AS c FROM pv
+         |   UNION ALL SELECT DISTINCT 'edge:HAS_VDM', cde_code, vdm_code, NULL FROM cde
+         |   UNION ALL SELECT DISTINCT 'edge:HAS_PV', vdm_code, pv_code, NULL FROM vdmpv
+         |   UNION ALL SELECT DISTINCT 'edge:HAS_DEC', cde_code, dec_code, NULL FROM decoc
+         |   UNION ALL SELECT DISTINCT 'edge:HAS_OC', dec_code, oc_code, NULL FROM decoc),
+         | has_syn AS (
+         |   SELECT DISTINCT 'edge:HAS_SYNONYM' AS kind, code AS a, term AS b,
+         |     CAST(NULL AS VARCHAR) AS c FROM syn)
          |SELECT kind, a, b, c FROM (
          |  SELECT * FROM verts UNION ALL SELECT * FROM maps_to
-         |  UNION ALL SELECT * FROM same_as)
+         |  UNION ALL SELECT * FROM same_as
+         |  UNION ALL SELECT * FROM base_edges
+         |  UNION ALL SELECT * FROM has_syn)
          |ORDER BY kind, a, b""".stripMargin,
 
     "kg_semantic_definition" ->
@@ -1413,8 +1442,9 @@ object SparkEntry {
     // or triple emission breaks this hash
     "kg_pipeline_full" ->
       """SELECT pred, CAST(n AS BIGINT) AS n FROM (VALUES
-        |  ('HAS_SYNONYM', 76), ('LINKED_TO', 2150),
-        |  ('MAPS_TO', 14), ('SAME_AS', 9)) v(pred, n)
+        |  ('HAS_CONCEPT', 16), ('HAS_DEC', 7), ('HAS_OC', 7),
+        |  ('HAS_PV', 17), ('HAS_SYNONYM', 76), ('HAS_VDM', 8),
+        |  ('LINKED_TO', 2150), ('MAPS_TO', 14), ('SAME_AS', 9)) v(pred, n)
         |ORDER BY pred""".stripMargin,
 
     // deterministic regression pin: IVF is seeded by fixed id hashes,

@@ -153,12 +153,16 @@ object PreparedDict {
     val canonical = graft.canon.Canonicalizer.canonicalMap(spark, dict).cache()
     canonical.count()
     // dictionary-derived triples are STATIC per dictionary: derive the
-    // MAPS_TO chain flatten, synonym edges, and canonical merges once
-    // here, not once per transcript batch (a per-batch pipeline run
-    // must only pay corpus-proportional work)
+    // MAPS_TO chain flatten, the BASE structural edges (HAS_CONCEPT /
+    // HAS_VDM / HAS_PV / HAS_DEC / HAS_OC — the reference's serving
+    // graph must be reconstructible from the output tables alone),
+    // synonym edges, and canonical merges once here, not once per
+    // transcript batch (a per-batch pipeline run must only pay
+    // corpus-proportional work)
     val dictTriples = graft.triples.Triples.mapsTo(spark, dict)
       .unionByName(graft.triples.Triples.hasSynonym(spark, dict))
       .unionByName(graft.triples.Triples.sameAs(canonical))
+      .unionByName(graft.triples.Triples.baseEdges(spark, dict))
       .cache()
     dictTriples.count()
     PreparedDict(dict, ac, resolution, fuzzy, fuzzyTokens, fuzzyTokensAny,

@@ -159,8 +159,11 @@ object Fixtures {
     val vdm = vdmPv.keys.toSeq.sorted.map(c => (c, s"value domain $c")).toDF("code", "term")
     val dec = decOc.map { case (_, d, _, _) => (d, s"data element concept $d") }
       .distinct.toDF("code", "term")
-    val oc = decOc.map { case (_, _, o, t) => Concept(o, t, None, "OC", embed(t)) }
-      .distinct.toDS()
+    // dedupe on (code, term) BEFORE building Concepts: Concept holds an
+    // Array[Float] whose equals is reference identity, so .distinct on
+    // Concept rows silently keeps duplicates
+    val oc = decOc.map { case (_, _, o, t) => (o, t) }.distinct
+      .map { case (o, t) => Concept(o, t, None, "OC", embed(t)) }.toDS()
     val hasConcept = pvRows.map { case (p, _, n) => DictEdge(p, n) }.toDS()
     val hasVdm = cdeRows.map { case (c, _, v) => DictEdge(c, v) }.toDS()
     val hasPv = vdmPv.toSeq.flatMap { case (v, ps) => ps.map(p => DictEdge(v, p)) }.toDS()

@@ -58,6 +58,26 @@ object Triples {
       .select(col("code").as("subj"), lit("SAME_AS").as("pred"),
         col("canonical").as("obj"))
 
+  /** The BASE dictionary edges exactly as the reference's serving
+    * graph exposes them (reference semantic_retrievers.py:108-109 and
+    * :224; labels at README.md:116-124): HAS_CONCEPT (PV->NCIT),
+    * HAS_VDM (CDE->VDM), HAS_PV (VDM->PV), HAS_DEC (CDE->DEC),
+    * HAS_OC (DEC->OC). MAPS_TO is the flatten DERIVED from these;
+    * the base edges ship alongside it so a consumer of the
+    * materialized tables can run every reference traversal (J3/J4/J5)
+    * without the in-memory ConceptDict. */
+  def baseEdges(spark: SparkSession, dict: ConceptDict): DataFrame = {
+    import spark.implicits._
+    def e(ds: Dataset[graft.model.DictEdge], pred: String): DataFrame =
+      ds.select($"src".as("subj"), lit(pred).as("pred"), $"dst".as("obj"))
+    e(dict.hasConcept, "HAS_CONCEPT")
+      .unionByName(e(dict.hasVdm, "HAS_VDM"))
+      .unionByName(e(dict.hasPv, "HAS_PV"))
+      .unionByName(e(dict.hasDec, "HAS_DEC"))
+      .unionByName(e(dict.hasOc, "HAS_OC"))
+      .distinct()
+  }
+
   def all(spark: SparkSession, links: Dataset[Link], dict: ConceptDict,
           canonical: DataFrame): Dataset[Triple] = {
     import spark.implicits._
@@ -65,6 +85,7 @@ object Triples {
       .unionByName(mapsTo(spark, dict))
       .unionByName(hasSynonym(spark, dict))
       .unionByName(sameAs(canonical))
+      .unionByName(baseEdges(spark, dict))
       .as[Triple]
   }
 
@@ -87,9 +108,12 @@ object Triples {
 
   /** Unified vertex table — one row per graph node across every label
     * (the Neo4j node store flattened into a single partitioned table,
-    * reference README.md:116-124 labels NCIT/PV/CDE/VDM/DEC/OC).
+    * reference README.md:116-124 labels NCIT/PV/SYN/CDE/VDM/DEC/OC).
+    * SYN vertices are keyed by the synonym TERM (one vertex per
+    * distinct surface; HAS_SYNONYM edges' obj is the term, so edge
+    * endpoints join this table directly).
     * `canonical` applies the synonym-merge map (identity for codes
-    * outside the map — VDM/DEC/OC never participate in surface
+    * outside the map — VDM/DEC/OC/SYN never participate in surface
     * sharing). Dictionary-sized, so the canonical join broadcasts. */
   def vertices(spark: SparkSession, dict: ConceptDict,
                canonical: DataFrame): DataFrame = {
@@ -100,9 +124,13 @@ object Triples {
         lit(null).cast("string").as("definition"))
       .unionByName(dict.dec.select($"code", lit("DEC").as("label"), $"term",
         lit(null).cast("string").as("definition")))
+    val syn = dict.synonyms
+      .select($"term".as("code"), lit("SYN").as("label"), $"term",
+        lit(null).cast("string").as("definition"))
+      .distinct()
     cpt(dict.ncit, "NCIT").unionByName(cpt(dict.pv, "PV"))
       .unionByName(cpt(dict.cde, "CDE")).unionByName(cpt(dict.oc, "OC"))
-      .unionByName(plain)
+      .unionByName(plain).unionByName(syn)
       .join(broadcast(canonical), Seq("code"), "left")
       .select($"code", $"label", $"term", $"definition",
         coalesce($"canonical", $"code").as("canonical"))

@@ -66,7 +66,8 @@ class PipelineSpec extends SparkTestBase {
   test("triples contain all predicates and LINKED_TO objs are canonical codes") {
     val t = result.triples.cache()
     val preds = t.select($"pred").distinct().as[String].collect().toSet
-    assert(preds == Set("LINKED_TO", "MAPS_TO", "HAS_SYNONYM", "SAME_AS"))
+    assert(preds == Set("LINKED_TO", "MAPS_TO", "HAS_SYNONYM", "SAME_AS",
+      "HAS_CONCEPT", "HAS_VDM", "HAS_PV", "HAS_DEC", "HAS_OC"))
     // LINKED_TO objects must be fixed points of the canonical map
     val nonCanon = t.filter($"pred" === "LINKED_TO")
       .join(result.canonical.withColumnRenamed("code", "obj"), "obj")

@@ -15,8 +15,9 @@ class TripleTableSpec extends SparkTestBase {
     // layout: one directory per predicate
     val preds = new java.io.File(dir).listFiles().map(_.getName)
       .filter(_.startsWith("pred=")).sorted
-    assert(preds.sameElements(Array("pred=HAS_SYNONYM", "pred=LINKED_TO",
-      "pred=MAPS_TO", "pred=SAME_AS")))
+    assert(preds.sameElements(Array("pred=HAS_CONCEPT", "pred=HAS_DEC",
+      "pred=HAS_OC", "pred=HAS_PV", "pred=HAS_SYNONYM", "pred=HAS_VDM",
+      "pred=LINKED_TO", "pred=MAPS_TO", "pred=SAME_AS")))
     // predicate filter becomes a partition filter (no data read from
     // other predicates)
     val q = spark.read.parquet(dir).filter($"pred" === "LINKED_TO")
@@ -37,7 +38,7 @@ class TripleTableSpec extends SparkTestBase {
     val labels = new java.io.File(s"$dir/vertices").listFiles().map(_.getName)
       .filter(_.startsWith("label=")).sorted
     assert(labels.sameElements(Array("label=CDE", "label=DEC", "label=NCIT",
-      "label=OC", "label=PV", "label=VDM")))
+      "label=OC", "label=PV", "label=SYN", "label=VDM")))
     // label filter prunes partitions
     val v = spark.read.parquet(s"$dir/vertices").filter($"label" === "NCIT")
     val plan = v.queryExecution.executedPlan.toString
@@ -52,6 +53,48 @@ class TripleTableSpec extends SparkTestBase {
     val oc = verts.filter($"label" === "OC").select($"code", $"canonical")
       .as[(String, String)].collect()
     assert(oc.nonEmpty && oc.forall { case (c, k) => c == k })
+  }
+
+  test("reference J3 traversal runs from the materialized tables ALONE") {
+    // A consumer replacing Neo4j with the materialized graph must be
+    // able to run (cde)-[:HAS_VDM]->(vdm)-[:HAS_PV]->(pv)-[:HAS_CONCEPT]->
+    // (ncit) (reference semantic_retrievers.py:62-76) with NO access to
+    // the in-memory ConceptDict — base edges + vertices only.
+    val dict = Fixtures.dict(spark)
+    val canonical = graft.canon.Canonicalizer.canonicalMap(spark, dict)
+    val verts = graft.triples.Triples.vertices(spark, dict, canonical)
+    val edges = graft.triples.Triples.baseEdges(spark, dict)
+      .unionByName(graft.triples.Triples.hasSynonym(spark, dict))
+      .as[graft.model.Triple]
+    val dir = Files.createTempDirectory("graft-graph-j3").toString
+    graft.triples.Triples.writeGraph(verts, edges, dir)
+
+    def edge(pred: String) = spark.read.parquet(s"$dir/edges")
+      .filter($"pred" === pred)
+    val hasVdm = edge("HAS_VDM").select($"subj".as("cde"), $"obj".as("vdm"))
+    val hasPv = edge("HAS_PV").select($"subj".as("vdm"), $"obj".as("pv"))
+    val hasConcept = edge("HAS_CONCEPT").select($"subj".as("pv"), $"obj".as("ncit"))
+    val traversed = hasVdm.join(hasPv, "vdm").join(hasConcept, "pv")
+      .select($"ncit", $"cde").distinct()
+      .as[(String, String)].collect().toSet
+    // must equal the MAPS_TO flatten computed from the dict itself
+    val expected = graft.triples.Triples.mapsTo(spark, dict)
+      .select($"subj", $"obj").as[(String, String)].collect().toSet
+    assert(traversed == expected)
+    assert(traversed.contains(("C18016", "CDE2001"))) // known chain
+    // each pred filter prunes to exactly its partition
+    val plan = edge("HAS_VDM").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(pred") &&
+      plan.contains("HAS_VDM"), plan)
+    // and the reference J1 synonym hop also runs from tables alone:
+    // NCIT code -> SYN vertices via HAS_SYNONYM edge -> SYN vertex rows
+    val synEdges = edge("HAS_SYNONYM").filter($"subj" === "C4878")
+      .select($"obj".as("code"))
+    val synVerts = spark.read.parquet(s"$dir/vertices")
+      .filter($"label" === "SYN")
+    val terms = synEdges.join(synVerts, "code").select($"term")
+      .as[String].collect().toSet
+    assert(terms == Set("carcinoma of the lung", "lung cancer", "pulmonary carcinoma"))
   }
 
   test("entry() flagship returns non-empty triples (driver smoke contract)") {
