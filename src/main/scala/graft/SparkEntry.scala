@@ -156,6 +156,25 @@ object SparkEntry {
     graft.fixtures.Fixtures.decOc.map { case (cde, dec, oc, ocTerm) =>
       s"('$cde','$dec','$oc','${sqlQuote(ocTerm)}')" }.mkString(", ")
 
+  /** Fixture NCIT (code, term, term-embedding) VALUES — the DuckDB
+    * twin of the broadcast KNN matrix in SemanticNcitSearch. */
+  private lazy val ncitVecSqlValues: String =
+    graft.fixtures.Fixtures.ncitRows.map { case (c, t, _, _) =>
+      s"('$c','${sqlQuote(t)}',${vecSql(graft.fixtures.Fixtures.embed(t))})"
+    }.mkString(",\n  ")
+
+  /** Shared by kg_semantic_ncit_search + oracle. Queries chosen so the
+    * top-5 KNN hits mix PV-carrying concepts (fan-out rows) with
+    * PV-less ones (dropped by the inner HAS_CONCEPT match). */
+  private val ncitSearchQueries: Seq[(String, String)] = Seq(
+    ("q1", "tumor staging"), ("q2", "smoking status of patient"),
+    ("q3", "estrogen receptor"))
+
+  private lazy val ncitSearchQuerySqlValues: String =
+    ncitSearchQueries.map { case (id, t) =>
+      s"('$id',${vecSql(graft.functions.Vectorizer.vectorizeChar(t))})"
+    }.mkString(",\n  ")
+
   /** One PreparedDict per session for the fixture-dictionary queries:
     * preparation is the amortized-once production cost and must not be
     * re-paid per catalog query. */
@@ -676,6 +695,21 @@ object SparkEntry {
         .select(col("query_id"), col("node_type"), col("rank"), col("code"),
           col("term"), (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"))
         .orderBy(col("query_id"), col("node_type"), col("rank"))
+    }),
+
+    // composed semantic NCIT search (reference find_cde_from_ncit_term,
+    // semantic_retrievers.py:85-126): KNN over NCIT term embeddings,
+    // inner HAS_CONCEPT fan-out to PV, optional VDM/CDE chain collected
+    // per (concept, pv); full double-cosine + string_agg oracle
+    "kg_semantic_ncit_search" -> ((s, dir) => {
+      import s.implicits._
+      val dict = graft.fixtures.Fixtures.dict(s)
+      val q = ncitSearchQueries.toDF("query_id", "text")
+      graft.link.SemanticNcitSearch.search(s, q, dict, k = 5)
+        .select(col("query_id"), col("rank"), col("concept_code"),
+          col("concept_term"), col("pv_code"), col("pv_term"),
+          (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"), col("of_cdes"))
+        .orderBy(col("query_id"), col("rank"), col("pv_code"))
     }),
 
     // unified TYPE-FILTERED term search (reference ftTermIndex spans
@@ -1335,6 +1369,42 @@ object SparkEntry {
          | ${floorRound("cos", "1e6")} AS score
          |FROM ranked WHERE rank <= 3
          |ORDER BY query_id, node_type, rank""".stripMargin,
+
+    // DuckDB twin of SemanticNcitSearch: same KNN (double cosine, ties
+    // by code), same inner PV fan-out, same per-PV sorted CDE collect
+    // (string_agg ORDER BY == Spark array_sort(collect_list)); a PV
+    // with no chain coalesces to '' exactly like the Spark side.
+    "kg_semantic_ncit_search" ->
+      s"""WITH ncitv(code, term, vec) AS (SELECT * FROM (VALUES
+         |  $ncitVecSqlValues) v(code, term, vec)),
+         | q(query_id, qvec) AS (SELECT * FROM (VALUES
+         |  $ncitSearchQuerySqlValues) v(query_id, qvec)),
+         | pv(pv_code, pv_term, ncit_code) AS (
+         |   SELECT * FROM (VALUES $pvEdgeSqlValues) v(pv_code, pv_term, ncit_code)),
+         | cde(cde_code, cde_term, vdm_code) AS (
+         |   SELECT * FROM (VALUES $cdeVdmSqlValues) v(cde_code, cde_term, vdm_code)),
+         | vdmpv(vdm_code, pv_code) AS (SELECT * FROM (VALUES $vdmPvSqlValues) v(vdm_code, pv_code)),
+         | scored AS (
+         |  SELECT query_id, code, term, ${duckCosine("qvec", "vec")} AS cos
+         |  FROM q CROSS JOIN ncitv),
+         | ranked AS (
+         |  SELECT query_id, code, term, cos,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cos DESC, code) AS rank
+         |  FROM scored),
+         | hits AS (SELECT * FROM ranked WHERE rank <= 5),
+         | pvcdes AS (
+         |  SELECT vp.pv_code, string_agg(c.cde_code, ',' ORDER BY c.cde_code) AS of_cdes
+         |  FROM vdmpv vp JOIN cde c ON c.vdm_code = vp.vdm_code
+         |  GROUP BY vp.pv_code)
+         |SELECT h.query_id, h.rank, h.code AS concept_code,
+         | h.term AS concept_term, p.pv_code, p.pv_term,
+         | ${floorRound("h.cos", "1e6")} AS score,
+         | coalesce(pc.of_cdes, '') AS of_cdes
+         |FROM hits h
+         |JOIN pv p ON p.ncit_code = h.code
+         |LEFT JOIN pvcdes pc USING (pv_code)
+         |ORDER BY h.query_id, h.rank, p.pv_code""".stripMargin,
 
     "kg_term_search_typed" -> {
       val qVals = termSearchQueries.map { case (id, t) => s"('$id','${sqlQuote(t)}')" }
