@@ -896,7 +896,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ======== training-data ops: multimodal (decode STUBBED) ========
+    // ======== training-data ops: multimodal (real BMP/WAV payloads;
+    // video container stays a stub) ========
 
     "mm_media_meta" -> ((s, dir) => {
       Multimodal.mediaFromText(T(s, dir, "documents"), "doc_id", "text")
@@ -907,7 +908,9 @@ object SparkEntry {
 
     "mm_decode" -> ((s, dir) => {
       val media = Multimodal.mediaFromText(T(s, dir, "documents"), "doc_id", "text")
-      Multimodal.decode(s, media).toDF().orderBy(col("media_id"))
+      Multimodal.decode(s, media).toDF()
+        .withColumn("valid", col("valid").cast("int"))
+        .orderBy(col("media_id"))
     }),
 
     "mm_frame_sample" -> ((s, dir) => {
@@ -1221,12 +1224,27 @@ object SparkEntry {
         | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "mm_media_meta" ->
-      """SELECT doc_id AS media_id,
-        | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
-        |  ELSE 'video' END AS kind,
-        | octet_length(encode(text)) AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin,
+    // payload sizes re-derived per format: BMP = 54-byte header +
+    // h rows of stride ((3w+3)/4)*4 with hash-derived dims; WAV =
+    // 44-byte header + one byte per UTF-8 text byte; video = raw text
+    // bytes (the dims/channels hash twins live in SketchOracles)
+    "mm_media_meta" -> {
+      val w = "((((h1 % 64) + 64) % 64) + 1)"
+      val h = "((((h2 % 64) + 64) % 64) + 1)"
+      s"""WITH hashed AS (
+         | SELECT doc_id, text,
+         |  ${SketchOracles.mm_hash64_text} AS h1,
+         |  ${SketchOracles.mm_hash64_text_h} AS h2
+         | FROM documents)
+         |SELECT doc_id AS media_id,
+         | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+         |  ELSE 'video' END AS kind,
+         | CAST(CASE
+         |  WHEN doc_id % 3 = 0 THEN 54 + $h * (((3 * $w + 3) // 4) * 4)
+         |  WHEN doc_id % 3 = 1 THEN 44 + octet_length(encode(text))
+         |  ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes
+         |FROM hashed ORDER BY media_id""".stripMargin
+    },
 
     "kg_triple_extract" ->
       s"""WITH t AS ($transcriptsSql),

@@ -1,7 +1,8 @@
 package graft.ops
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for training pipelines: image/audio/
   * video as opaque `binary` columns + typed metadata, processed in
@@ -9,61 +10,171 @@ import org.apache.spark.sql.functions._
   * decoder instantiation per partition, vectorized iteration, stable
   * output schema).
   *
-  * The actual byte decoding is STUBBED (this container ships no
-  * image/audio codecs): [[FakeCodec]] derives deterministic
-  * pseudo-features from the bytes. Everything Spark-side — schema,
-  * batch shape, partitioning, null handling — is real and tested;
-  * swapping in a real codec changes only FakeCodec's body.
+  * Image and audio are REAL formats: [[MediaSynth]] writes valid
+  * BMP (24bpp, BITMAPINFOHEADER) and WAV (PCM, canonical 44-byte
+  * header) byte payloads, and [[Codec.decode]] PARSES those headers
+  * — dims/channels/sample counts come from the bytes, never from the
+  * declared columns; corrupted headers take the error path
+  * (valid = false) instead of killing the job. Only video remains a
+  * stub (no pure-JVM container format; payload is opaque bytes and
+  * decode falls back to declared metadata — honestly labeled).
   */
 object Multimodal {
 
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
                             declared_w: Int, declared_h: Int)
+  /** `valid` = header parsed and structurally sound; invalid rows
+    * carry zero dims so downstream filters can quarantine them. */
   final case class DecodedRow(media_id: Long, kind: String, n_bytes: Int,
                               width: Int, height: Int, channels: Int,
-                              checksum: Long)
+                              checksum: Long, valid: Boolean)
   final case class FrameRow(media_id: Long, frame_idx: Int, offset_ms: Int,
                             frame_checksum: Long)
 
-  /** STUB decoder — deterministic fake features in place of a real
-    * image/audio library. Real implementation would go exactly here,
-    * one instance per partition (see [[decode]]). */
-  object FakeCodec {
-    def decode(payload: Array[Byte], declaredW: Int, declaredH: Int): (Int, Int, Int, Long) = {
-      var cs = 1469598103934665603L
+  /** Deterministic byte-level writers for real media formats — the
+    * synthesis side of the multimodal fixtures. Layouts are fixed so
+    * the DuckDB oracle can rebuild the exact byte stream
+    * (tools/gen_sketch_oracles.py). */
+  object MediaSynth {
+    private def le32(buf: Array[Byte], off: Int, v: Int): Unit = {
+      buf(off) = (v & 0xff).toByte
+      buf(off + 1) = ((v >>> 8) & 0xff).toByte
+      buf(off + 2) = ((v >>> 16) & 0xff).toByte
+      buf(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    private def le16(buf: Array[Byte], off: Int, v: Int): Unit = {
+      buf(off) = (v & 0xff).toByte
+      buf(off + 1) = ((v >>> 8) & 0xff).toByte
+    }
+
+    /** 24bpp BMP: 14-byte file header + 40-byte BITMAPINFOHEADER +
+      * h rows of stride ((3w+3)/4)*4; the pixel area is filled by
+      * cycling `fill` (zeros when empty). */
+    def bmp(w: Int, h: Int, fill: Array[Byte]): Array[Byte] = {
+      val stride = ((3 * w + 3) / 4) * 4
+      val size = 54 + h * stride
+      val b = new Array[Byte](size)
+      b(0) = 'B'; b(1) = 'M'
+      le32(b, 2, size); le32(b, 10, 54)
+      le32(b, 14, 40); le32(b, 18, w); le32(b, 22, h)
+      le16(b, 26, 1); le16(b, 28, 24)
+      le32(b, 34, h * stride); le32(b, 38, 2835); le32(b, 42, 2835)
       var i = 0
-      while (i < payload.length) { cs = (cs ^ (payload(i) & 0xff)) * 1099511628211L; i += 1 }
-      // a real codec would parse the header; the stub trusts declared dims
-      (declaredW, declaredH, 3, cs)
+      while (i < h * stride) {
+        b(54 + i) = if (fill.length == 0) 0 else fill(i % fill.length)
+        i += 1
+      }
+      b
+    }
+
+    /** PCM WAV, canonical 44-byte header, 8-bit samples, `data` as
+      * the sample stream. */
+    def wav(channels: Int, sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+      val b = new Array[Byte](44 + data.length)
+      b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+      le32(b, 4, 36 + data.length)
+      b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+      b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+      le32(b, 16, 16); le16(b, 20, 1); le16(b, 22, channels)
+      le32(b, 24, sampleRate); le32(b, 28, sampleRate * channels)
+      le16(b, 32, channels); le16(b, 34, 8)
+      b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+      le32(b, 40, data.length)
+      System.arraycopy(data, 0, b, 44, data.length)
+      b
     }
   }
 
-  /** Synthesize a media table from any text DataFrame (deterministic
-    * fake payloads; the binary column IS real binary — this is the
-    * schema/partitioning path a 100 TB image corpus would use,
-    * partitioned so one partition's payloads fit executor memory). */
-  def mediaFromText(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol).cast("long").as("media_id"),
-      (when(col(idCol) % 3 === 0, "image")
-        .when(col(idCol) % 3 === 1, "audio").otherwise("video")).as("kind"),
-      encode(col(textCol), "UTF-8").as("payload"),
-      // engine-portable hash64 (not xxhash64) so the synthetic dims
-      // are recomputable by the DuckDB oracle
-      (pmod(graft.Functions.hash64_str(col(textCol)), lit(1920)) + 1)
-        .cast("int").as("declared_w"),
-      (pmod(graft.Functions.hash64_str(concat(col(textCol), lit("|h"))), lit(1080)) + 1)
-        .cast("int").as("declared_h"))
+  /** Header-parsing decoder. BMP and WAV are decoded from their
+    * bytes; anything else (the video stub) falls back to declared
+    * metadata. Malformed magic-carrying payloads return valid=false
+    * with zeroed dims — a 100 TB pipeline quarantines bad rows, it
+    * does not throw per row. */
+  object Codec {
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    def fnv(payload: Array[Byte]): Long = {
+      var cs = 1469598103934665603L
+      var i = 0
+      while (i < payload.length) { cs = (cs ^ (payload(i) & 0xff)) * 1099511628211L; i += 1 }
+      cs
+    }
+
+    /** (width, height, channels, checksum, valid). */
+    def decode(payload: Array[Byte], declaredW: Int, declaredH: Int): (Int, Int, Int, Long, Boolean) = {
+      val cs = fnv(payload)
+      if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') {
+        // BMP: width @18, height @22 (LE32), bpp @28 (LE16)
+        if (payload.length < 54) return (0, 0, 0, cs, false)
+        val w = le32(payload, 18); val h = le32(payload, 22)
+        val bpp = le16(payload, 28)
+        val stride = ((bpp / 8 * w + 3) / 4) * 4
+        if (w <= 0 || h <= 0 || bpp % 8 != 0 || bpp == 0 ||
+            payload.length < 54 + h.toLong * stride) (0, 0, 0, cs, false)
+        else (w, h, bpp / 8, cs, true)
+      } else if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I' &&
+                 payload(2) == 'F' && payload(3) == 'F') {
+        // WAV: channels @22 (LE16), bits @34 (LE16), dataLen @40 (LE32)
+        if (payload.length < 44 ||
+            payload(8) != 'W' || payload(9) != 'A' ||
+            payload(10) != 'V' || payload(11) != 'E') return (0, 0, 0, cs, false)
+        val ch = le16(payload, 22); val bits = le16(payload, 34)
+        val dataLen = le32(payload, 40)
+        if (ch <= 0 || bits % 8 != 0 || bits == 0 ||
+            payload.length < 44 + dataLen.toLong) (0, 0, 0, cs, false)
+        else (dataLen / (ch * (bits / 8)), 1, ch, cs, true) // width = samples/channel
+      } else {
+        // video stub: opaque container, trust declared dims
+        (declaredW, declaredH, 3, cs, true)
+      }
+    }
+  }
+
+  /** Synthesize a media table from any text DataFrame: REAL BMP bytes
+    * for image rows, REAL WAV bytes for audio rows (deterministic
+    * dims/channels from engine-portable hash64 so the DuckDB oracle
+    * rebuilds the exact byte stream), opaque text bytes for the video
+    * stub. The binary column IS real binary — this is the schema/
+    * partitioning path a 100 TB media corpus would use, partitioned so
+    * one partition's payloads fit executor memory. */
+  def mediaFromText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes(StandardCharsets.UTF_8)
+        def pm(s: String, m: Long): Int =
+          (java.lang.Math.floorMod(graft.functions.Hashing.hash64(s), m) + 1).toInt
+        (id % 3) match {
+          case 0 =>
+            val w = pm(text, 64); val h = pm(text + "|h", 64)
+            MediaRow(id, "image", MediaSynth.bmp(w, h, tb), w, h)
+          case 1 =>
+            val ch = pm(text + "|c", 2)
+            MediaRow(id, "audio", MediaSynth.wav(ch, 8000, tb), tb.length / ch, 1)
+          case _ =>
+            MediaRow(id, "video", tb, pm(text, 1920), pm(text + "|h", 1080))
+        }
+      }.toDF()
+  }
 
   /** Batched per-partition decode — the mapInPandas-shaped hot path:
-    * codec state initialized once per partition, rows streamed. */
+    * codec state initialized once per partition, rows streamed,
+    * malformed rows quarantined via valid=false (never a throw). */
   def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition decoder init would happen here (real codec)
+      // per-partition decoder init would happen here (real codecs
+      // with native state; Codec is stateless)
       rows.map { r =>
-        val (w, h, ch, cs) = FakeCodec.decode(r.payload, r.declared_w, r.declared_h)
-        DecodedRow(r.media_id, r.kind, r.payload.length, w, h, ch, cs)
+        val (w, h, ch, cs, ok) = Codec.decode(r.payload, r.declared_w, r.declared_h)
+        DecodedRow(r.media_id, r.kind, r.payload.length, w, h, ch, cs, ok)
       }
     }
   }

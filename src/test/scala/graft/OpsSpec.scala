@@ -173,13 +173,51 @@ class OpsSpec extends SparkTestBase {
     assert(r.getInt(1) == 6)
   }
 
-  test("multimodal decode stub preserves schema and determinism") {
+  test("multimodal decode parses real BMP/WAV headers; deterministic") {
     val media = Multimodal.mediaFromText(docs, "doc_id", "text")
     val d1 = Multimodal.decode(spark, media).orderBy("media_id").collect()
     val d2 = Multimodal.decode(spark, media.repartition(7)).orderBy("media_id").collect()
     assert(d1.sameElements(d2))
-    assert(d1.forall(r => r.n_bytes > 0 && r.channels == 3))
+    assert(d1.forall(r => r.n_bytes > 0 && r.valid))
+    // image rows: dims come from the parsed BITMAPINFOHEADER and must
+    // equal what the synthesizer declared; 24bpp -> 3 channels
+    val img = d1.filter(_.kind == "image")
+    val declared = media.filter($"kind" === "image")
+      .select($"media_id", $"declared_w", $"declared_h")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(img.nonEmpty && img.forall(r =>
+      (r.width, r.height) == declared(r.media_id) && r.channels == 3))
+    // audio rows: channels parsed from the fmt chunk (1 or 2), height 1
+    val aud = d1.filter(_.kind == "audio")
+    assert(aud.nonEmpty && aud.forall(r =>
+      (r.channels == 1 || r.channels == 2) && r.height == 1 && r.width > 0))
     val frames = Multimodal.frameSample(spark, media).collect()
     assert(frames.nonEmpty && frames.forall(_.offset_ms % 1000 == 0))
+  }
+
+  test("multimodal decode quarantines corrupted headers (valid=false, no throw)") {
+    import Multimodal.{Codec, MediaSynth}
+    val good = MediaSynth.bmp(4, 3, "pixels".getBytes)
+    assert(Codec.decode(good, 0, 0) match {
+      case (4, 3, 3, _, true) => true; case _ => false
+    })
+    // truncate mid-header: magic claims BMP but no parseable header
+    val truncated = java.util.Arrays.copyOfRange(good, 0, 20)
+    val (w1, h1, c1, _, ok1) = Codec.decode(truncated, 9, 9)
+    assert(!ok1 && w1 == 0 && h1 == 0 && c1 == 0)
+    // header intact but pixel area missing -> structurally unsound
+    val short = java.util.Arrays.copyOfRange(good, 0, 60)
+    assert(!Codec.decode(short, 9, 9)._5)
+    // WAV with a lying data-chunk length
+    val wav = MediaSynth.wav(2, 8000, "samples".getBytes)
+    wav(40) = 0x7f.toByte; wav(41) = 0x7f.toByte // dataLen >> payload
+    assert(!Codec.decode(wav, 9, 9)._5)
+    // and through the full Spark path: corrupted rows flow as
+    // valid=false rows, valid ones keep decoding
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", good, 4, 3),
+      Multimodal.MediaRow(2L, "image", truncated, 4, 3)).toDS().toDF()
+    val out = Multimodal.decode(spark, rows).orderBy("media_id").collect()
+    assert(out.map(_.valid).toSeq == Seq(true, false))
   }
 }

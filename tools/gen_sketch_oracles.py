@@ -301,27 +301,118 @@ WHERE rank <= 3
 ORDER BY query_id, rank"""
 
 
+def le32_h(v):
+    """LE32 byte expansion of a nonnegative int expr, as HUGEINT list."""
+    return (f"[(({v}) % 256)::HUGEINT, ((({v})//256) % 256)::HUGEINT,"
+            f" ((({v})//65536) % 256)::HUGEINT, ((({v})//16777216) % 256)::HUGEINT]")
+
+def le16_h(v):
+    return f"[(({v}) % 256)::HUGEINT, ((({v})//256) % 256)::HUGEINT]"
+
+def bytes_h(*vals):
+    return "[" + ", ".join(f"{v}::HUGEINT" for v in vals) + "]"
+
 def gen_mm_decode():
-    """Twin of Multimodal.decode over mediaFromText(documents):
-    media_id = doc_id, kind by doc_id%3, n_bytes = UTF-8 byte length,
-    width/height = pmod(hash64(text|salt), dim)+1 (the stub trusts
-    declared dims), channels = 3, checksum = the FakeCodec FNV-style
-    fold over payload bytes from its 1469598103934665603 basis."""
+    """Twin of Multimodal.decode over mediaFromText(documents), which
+    now synthesizes REAL formats: the oracle rebuilds the exact BMP
+    (24bpp, hash-derived dims <= 64, pixel area = cycled UTF-8 text
+    bytes) and WAV (PCM 8-bit, hash-derived 1-2 channels, data = text
+    bytes) byte streams in HUGEINT lists, FNV-folds them for the
+    checksum, and reads dims/channels the way the header parser does.
+    Video stays the opaque stub (checksum over raw text bytes,
+    declared 1920/1080 hash dims)."""
+    cs_basis = "1469598103934665603::HUGEINT"
+    # --- image branch ---
     w = let(to_bigint(hash64("text")), lambda h:
-            f"CAST((({h} % 1920) + 1920) % 1920 + 1 AS INT)")
-    hh = let(to_bigint(hash64("text || '|h'")), lambda h:
+            f"CAST((({h} % 64) + 64) % 64 + 1 AS INT)")
+    ht = let(to_bigint(hash64("text || '|h'")), lambda h:
+             f"CAST((({h} % 64) + 64) % 64 + 1 AS INT)")
+    bmp_header = ("flatten(["
+                  + ", ".join([
+                      bytes_h(66, 77),            # 'B','M'
+                      le32_h("54 + ht*stride"),    # file size
+                      bytes_h(0, 0, 0, 0),        # reserved
+                      le32_h("54"),                # pixel data offset
+                      le32_h("40"),                # BITMAPINFOHEADER size
+                      le32_h("w"), le32_h("ht"),
+                      le16_h("1"), le16_h("24"),   # planes, bpp
+                      le32_h("0"),                 # compression
+                      le32_h("ht*stride"),         # image size
+                      le32_h("2835"), le32_h("2835"),
+                      le32_h("0"), le32_h("0")])
+                  + "])")
+    pixels = ("[CASE WHEN len(tb) = 0 THEN 0::HUGEINT"
+              " ELSE tb[(i % len(tb)) + 1] END for i in range(ht*stride)]")
+    img_cs = to_bigint(fnv1a_over(f"list_concat({bmp_header}, {pixels})",
+                                  basis=cs_basis))
+    # --- audio branch ---
+    ch = let(to_bigint(hash64("text || '|c'")), lambda h:
+             f"CAST((({h} % 2) + 2) % 2 + 1 AS INT)")
+    wav_header = ("flatten(["
+                  + ", ".join([
+                      bytes_h(82, 73, 70, 70),     # 'RIFF'
+                      le32_h("36 + dlen"),
+                      bytes_h(87, 65, 86, 69),     # 'WAVE'
+                      bytes_h(102, 109, 116, 32),  # 'fmt '
+                      le32_h("16"), le16_h("1"), le16_h("ch"),
+                      le32_h("8000"), le32_h("8000*ch"),
+                      le16_h("ch"), le16_h("8"),
+                      bytes_h(100, 97, 116, 97),   # 'data'
+                      le32_h("dlen")])
+                  + "])")
+    wav_cs = to_bigint(fnv1a_over(f"list_concat({wav_header}, tb)",
+                                  basis=cs_basis))
+    # --- video stub branch ---
+    vw = let(to_bigint(hash64("text")), lambda h:
+             f"CAST((({h} % 1920) + 1920) % 1920 + 1 AS INT)")
+    vh = let(to_bigint(hash64("text || '|h'")), lambda h:
              f"CAST((({h} % 1080) + 1080) % 1080 + 1 AS INT)")
-    cs = to_bigint(fnv1a_over(utf8_bytes("text"),
-                              basis="1469598103934665603::HUGEINT"))
-    return f"""SELECT doc_id AS media_id,
-  CASE WHEN doc_id % 3 = 0 THEN 'image'
-       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-  CAST(strlen(text) AS INT) AS n_bytes,
-  {w} AS width,
-  {hh} AS height,
-  CAST(3 AS INT) AS channels,
-  {cs} AS checksum
-FROM documents ORDER BY media_id"""
+    vid_cs = to_bigint(fnv1a_over("tb", basis=cs_basis))
+    return f"""WITH src AS (
+  SELECT doc_id, text, {utf8_bytes('text')} AS tb FROM documents
+),
+img AS (
+  SELECT doc_id, tb, w, ht, ((3*w + 3) // 4) * 4 AS stride
+  FROM (SELECT doc_id, tb, {w} AS w, {ht} AS ht FROM src WHERE doc_id % 3 = 0)
+),
+img_out AS (
+  SELECT doc_id AS media_id, 'image' AS kind,
+    CAST(54 + ht*stride AS INT) AS n_bytes,
+    w AS width, ht AS height, CAST(3 AS INT) AS channels,
+    {img_cs} AS checksum, CAST(1 AS INT) AS valid
+  FROM img
+),
+aud AS (
+  SELECT doc_id, tb, ch, len(tb) AS dlen
+  FROM (SELECT doc_id, tb, {ch} AS ch FROM src WHERE doc_id % 3 = 1)
+),
+aud_out AS (
+  SELECT doc_id AS media_id, 'audio' AS kind,
+    CAST(44 + dlen AS INT) AS n_bytes,
+    CAST(dlen // ch AS INT) AS width, CAST(1 AS INT) AS height,
+    ch AS channels, {wav_cs} AS checksum, CAST(1 AS INT) AS valid
+  FROM aud
+),
+vid_out AS (
+  SELECT doc_id AS media_id, 'video' AS kind,
+    CAST(len(tb) AS INT) AS n_bytes,
+    {vw} AS width, {vh} AS height, CAST(3 AS INT) AS channels,
+    {vid_cs} AS checksum, CAST(1 AS INT) AS valid
+  FROM src WHERE doc_id % 3 = 2
+)
+SELECT * FROM (
+  SELECT * FROM img_out UNION ALL SELECT * FROM aud_out
+  UNION ALL SELECT * FROM vid_out)
+ORDER BY media_id"""
+
+
+def gen_mm_hash64_text():
+    """Signed-BIGINT hash64(text) SQL snippet (for the mm_media_meta
+    oracle assembled in SparkEntry)."""
+    return to_bigint(hash64("text"))
+
+def gen_mm_hash64_text_h():
+    return to_bigint(hash64("text || '|h'"))
 
 
 def gen_mm_frame_sample():
@@ -354,6 +445,10 @@ ORACLES = {
     "ann_ivf_topk": gen_ann_ivf_topk,
     "mm_decode": gen_mm_decode,
     "mm_frame_sample": gen_mm_frame_sample,
+    # SQL snippets (not standalone oracles) consumed by oracle SQL
+    # assembled in SparkEntry:
+    "mm_hash64_text": gen_mm_hash64_text,
+    "mm_hash64_text_h": gen_mm_hash64_text_h,
 }
 
 SCALA_HEADER = """package graft
