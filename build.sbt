@@ -28,6 +28,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// diagnostics hook: SPARK_GRAFT_JVM_EXTRA="-Xlog:jit+compilation=info"
+// etc. reaches the forked run/test JVMs
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_EXTRA")
+  .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
@@ -35,4 +39,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // thread count (~2g/thread) or GC caps scaling — measured: 32 cores
   // at 24g degrade 1.36M -> 0.84M turns/sec on long runs (box: 125g)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  // Pre-fault the whole heap at startup on 2M pages. This VM's
+  // anonymous page-fault service time intermittently collapses ~25x
+  // (measured: 2 GiB of fresh 4k faults = 48s in a bad window, ~2.5s
+  // otherwise); a 32-thread run faulting tens of GB of fresh heap
+  // then burns 1000+s of SYS time counted as executor CPU — the real
+  // cause of the erratic 25-35x local[32] slowdowns misattributed to
+  // host steal in round 2 (BENCH/BASELINE.md round-3 note). Fixed
+  // Xms + AlwaysPreTouch moves every heap fault to JVM startup
+  // (outside all timed windows) and THP cuts fault count 512x.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  "-XX:+UseTransparentHugePages",
+  "-XX:+AlwaysPreTouch",
 )

@@ -31,17 +31,50 @@ object Hashing {
 
   def hash64(s: String): Long = mix64(fnv1a64(s))
 
+  // precompiled: String.split/replaceAll with a multi-char regex
+  // compile the Pattern on EVERY call — norm() runs once per detected
+  // mention, making per-call Pattern.compile the hottest wasted work
+  // in the whole pipeline (it dominated stack samples of the
+  // mention-detect stage)
+  private val NonAlnumRun = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+
   /** Word tokenizer: lowercase, split on non-letter/digit runs. */
   def tokenize(text: String): Array[String] =
     if (text == null) Array.empty
-    else text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    else NonAlnumRun.split(text.toLowerCase).filter(_.nonEmpty)
+
+  @inline private def isWs(c: Char): Boolean = // Java regex \s exactly
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Normalized surface form used for all dictionary keys:
     * lowercase, trim, collapse inner whitespace. Mirrors the
     * reference's toLower + strip normalization
-    * (reference exact_match.py:76,80). */
-  def norm(s: String): String =
-    if (s == null) "" else s.trim.toLowerCase.replaceAll("\\s+", " ")
+    * (reference exact_match.py:76,80). Allocation-free when already
+    * normalized; byte-identical to the previous
+    * `replaceAll("\\s+", " ")` (each \s-run becomes one space). */
+  def norm(s: String): String = {
+    if (s == null) return ""
+    val t = s.trim.toLowerCase
+    var i = 0
+    var needs = false
+    while (i < t.length && !needs) {
+      val c = t.charAt(i)
+      if (isWs(c) && (c != ' ' ||
+          (i + 1 < t.length && isWs(t.charAt(i + 1))))) needs = true
+      i += 1
+    }
+    if (!needs) return t
+    val sb = new java.lang.StringBuilder(t.length)
+    i = 0
+    var prevWs = false
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (isWs(c)) { if (!prevWs) sb.append(' '); prevWs = true }
+      else { sb.append(c); prevWs = false }
+      i += 1
+    }
+    sb.toString
+  }
 
   /** Character k-gram shingles of the normalized text. */
   def charShingles(text: String, k: Int): Array[String] = {

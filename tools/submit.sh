@@ -23,6 +23,7 @@ exec /opt/spark/bin/spark-submit \
   --master "$MASTER" \
   --class "$MAIN" \
   --driver-memory "${SPARK_DRIVER_MEM:-64g}" \
+  --driver-java-options "-XX:+UseTransparentHugePages -XX:+AlwaysPreTouch" \
   --conf spark.ui.enabled=false \
   --conf spark.sql.session.timeZone=UTC \
   "$JAR"
