@@ -175,6 +175,22 @@ object SparkEntry {
       s"('$id',${vecSql(graft.functions.Vectorizer.vectorizeChar(t))})"
     }.mkString(",\n  ")
 
+  /** Fixture PV (code, term, term-embedding) VALUES — DuckDB twin of
+    * the SemanticPvSearch broadcast KNN matrix. */
+  private lazy val pvVecSqlValues: String =
+    graft.fixtures.Fixtures.pvRows.map { case (c, t, _) =>
+      s"('$c','${sqlQuote(t)}',${vecSql(graft.fixtures.Fixtures.embed(t))})"
+    }.mkString(",\n  ")
+
+  /** Shared by kg_semantic_pv_search + oracle. */
+  private val pvSearchQueries: Seq[(String, String)] = Seq(
+    ("q1", "stage four"), ("q2", "former smoker"), ("q3", "positive finding"))
+
+  private lazy val pvSearchQuerySqlValues: String =
+    pvSearchQueries.map { case (id, t) =>
+      s"('$id',${vecSql(graft.functions.Vectorizer.vectorizeChar(t))})"
+    }.mkString(",\n  ")
+
   /** One PreparedDict per session for the fixture-dictionary queries:
     * preparation is the amortized-once production cost and must not be
     * re-paid per catalog query. */
@@ -710,6 +726,21 @@ object SparkEntry {
           col("concept_term"), col("pv_code"), col("pv_term"),
           (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"), col("of_cdes"))
         .orderBy(col("query_id"), col("rank"), col("pv_code"))
+    }),
+
+    // composed semantic PV search (reference find_cde_from_pv_term,
+    // semantic_retrievers.py:38-83 — the primary direct-library entry
+    // point, SURVEY.md §3.3): KNN over PV term embeddings, inner
+    // 3-hop PV<-VDM<-CDE fan-out with CDE metadata per path
+    "kg_semantic_pv_search" -> ((s, dir) => {
+      import s.implicits._
+      val dict = graft.fixtures.Fixtures.dict(s)
+      val q = pvSearchQueries.toDF("query_id", "text")
+      graft.link.SemanticPvSearch.search(s, q, dict, k = 5)
+        .select(col("query_id"), col("rank"), col("pv_code"), col("pv_term"),
+          col("cde_code"), col("cde_term"), col("cde_defn"),
+          (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"))
+        .orderBy(col("query_id"), col("rank"), col("cde_code"))
     }),
 
     // unified TYPE-FILTERED term search (reference ftTermIndex spans
@@ -1423,6 +1454,35 @@ object SparkEntry {
          |JOIN pv p ON p.ncit_code = h.code
          |LEFT JOIN pvcdes pc USING (pv_code)
          |ORDER BY h.query_id, h.rank, p.pv_code""".stripMargin,
+
+    // DuckDB twin of SemanticPvSearch: same KNN (double cosine, ties
+    // by code), same INNER 3-hop fan-out to CDE. Fixture CDE
+    // definitions equal their terms (Fixtures.dict), hence
+    // cde_term AS cde_defn.
+    "kg_semantic_pv_search" ->
+      s"""WITH pvv(code, term, vec) AS (SELECT * FROM (VALUES
+         |  $pvVecSqlValues) v(code, term, vec)),
+         | q(query_id, qvec) AS (SELECT * FROM (VALUES
+         |  $pvSearchQuerySqlValues) v(query_id, qvec)),
+         | cde(cde_code, cde_term, vdm_code) AS (
+         |   SELECT * FROM (VALUES $cdeVdmSqlValues) v(cde_code, cde_term, vdm_code)),
+         | vdmpv(vdm_code, pv_code) AS (SELECT * FROM (VALUES $vdmPvSqlValues) v(vdm_code, pv_code)),
+         | scored AS (
+         |  SELECT query_id, code, term, ${duckCosine("qvec", "vec")} AS cos
+         |  FROM q CROSS JOIN pvv),
+         | ranked AS (
+         |  SELECT query_id, code, term, cos,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cos DESC, code) AS rank
+         |  FROM scored),
+         | hits AS (SELECT * FROM ranked WHERE rank <= 5)
+         |SELECT h.query_id, h.rank, h.code AS pv_code, h.term AS pv_term,
+         | c.cde_code, c.cde_term, c.cde_term AS cde_defn,
+         | ${floorRound("h.cos", "1e6")} AS score
+         |FROM hits h
+         |JOIN vdmpv vp ON vp.pv_code = h.code
+         |JOIN cde c ON c.vdm_code = vp.vdm_code
+         |ORDER BY h.query_id, h.rank, c.cde_code""".stripMargin,
 
     "kg_term_search_typed" -> {
       val qVals = termSearchQueries.map { case (id, t) => s"('$id','${sqlQuote(t)}')" }

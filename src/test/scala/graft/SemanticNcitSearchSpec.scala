@@ -35,6 +35,19 @@ class SemanticNcitSearchSpec extends SparkTestBase {
       hasOc = Seq.empty[DictEdge].toDS())
   }
 
+  test("pv search: chainless PVs drop (inner J3); one row per (pv, cde) path") {
+    val q = Seq(("q1", "alpha value")).toDF("query_id", "text")
+    val rows = graft.link.SemanticPvSearch.search(spark, q, miniDict, k = 2)
+      .orderBy($"rank", $"cde_code")
+      .as[(String, Int, String, String, String, String, String, Double)]
+      .collect()
+    // both P1 and P2 are KNN hits (k=2 over 2 PVs) but P2 has no VDM
+    // chain -> dropped by the inner MATCH; P1 fans out to both CDEs
+    assert(rows.map(_._3).distinct.toSeq == Seq("P1"))
+    assert(rows.map(_._5).toSeq == Seq("D1", "D2"))
+    assert(rows.map(_._6).toSeq == Seq("alpha data element", "alpha data element two"))
+  }
+
   test("PV-less concepts drop; empty chains collect ''; CDEs sorted") {
     val q = Seq(("q1", "alpha think")).toDF("query_id", "text")
     val rows = graft.link.SemanticNcitSearch.search(spark, q, miniDict, k = 2)

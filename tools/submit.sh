@@ -17,7 +17,7 @@ MAIN="${1:-graft.Bench}"
 MASTER="${2:-local[${SPARK_GRAFT_CPUS:-32}]}"
 
 sbt -batch package >/dev/null
-JAR=$(ls target/scala-2.13/ncitsemanticmapperspark_*.jar | head -1)
+JAR=$(ls target/scala-2.13/ncitsemanticmapperspark_*.jar | grep -v -- -tests | head -1)
 
 exec /opt/spark/bin/spark-submit \
   --master "$MASTER" \
