@@ -156,6 +156,16 @@ object SparkEntry {
     graft.fixtures.Fixtures.decOc.map { case (cde, dec, oc, ocTerm) =>
       s"('$cde','$dec','$oc','${sqlQuote(ocTerm)}')" }.mkString(", ")
 
+  /** Fixture DEC->PR->NCIT chain + OC->NCIT grounding as SQL VALUES
+    * (HAS_PR base edges, PR vertices and the non-PV HAS_CONCEPT
+    * grounding rows of the kg_graph_materialize oracle). */
+  private lazy val decPrSqlValues: String =
+    graft.fixtures.Fixtures.decPr.map { case (dec, pr, prTerm, ncit) =>
+      s"('$dec','$pr','${sqlQuote(prTerm)}','$ncit')" }.mkString(", ")
+  private lazy val ocGroundSqlValues: String =
+    graft.fixtures.Fixtures.ocGround.map { case (oc, ncit) =>
+      s"('$oc','$ncit')" }.mkString(", ")
+
   /** Fixture NCIT (code, term, term-embedding) VALUES — the DuckDB
     * twin of the broadcast KNN matrix in SemanticNcitSearch. */
   private lazy val ncitVecSqlValues: String =
@@ -228,6 +238,15 @@ object SparkEntry {
        |   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
        | / (sqrt(list_aggregate(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
        |  * sqrt(list_aggregate(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))))""".stripMargin
+
+  /** [[duckCosine]] with the engine's zero-norm convention: a signed
+    * feature-hashed embedding CAN be the all-zero vector (trigrams
+    * cancelling — e.g. fixture term "dead"), where
+    * [[graft.functions.VectorMath.cosine]] returns 0.0 but DuckDB's
+    * double 0/0 yields NULL (which sorts LAST under DESC while 0.0
+    * ranks above negative cosines — a silent ranking divergence). */
+  private def duckCosine0(a: String, b: String): String =
+    s"coalesce(${duckCosine(a, b)}, 0.0)"
 
   // ---------- driver contract ----------
 
@@ -781,6 +800,8 @@ object SparkEntry {
         .unionByName(graft.triples.Triples.sameAs(canonical))
         .unionByName(graft.triples.Triples.hasSynonym(s, dict))
         .unionByName(graft.triples.Triples.baseEdges(s, dict))
+        .unionByName(graft.triples.Triples.similarEdges(s, dict, k = 2)
+          .drop("score"))
         .as[graft.model.Triple]
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_graph_mat"
       // fixture graph is dictionary-sized: single-task writes (the
@@ -794,6 +815,18 @@ object SparkEntry {
         .select(concat(lit("edge:"), $"pred").as("kind"),
           $"subj".as("a"), $"obj".as("b"), lit(null).cast("string").as("c"))
       v.unionByName(e).orderBy($"kind", $"a", $"b")
+    }),
+
+    // NCIT-[:SIMILAR]->NCIT self-relation (reference schema.png): each
+    // concept's top-2 nearest neighbors by term-embedding cosine; full
+    // double-cosine oracle (the serving-graph enrichment edge kind,
+    // also written by kg_graph_materialize)
+    "kg_similar_ncit" -> ((s, dir) => {
+      val dict = graft.fixtures.Fixtures.dict(s)
+      graft.triples.Triples.similarEdges(s, dict, k = 2)
+        .select(col("subj"), col("obj"),
+          (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"))
+        .orderBy(col("subj"), col("score").desc, col("obj"))
     }),
 
     // IVF recall vs exact brute force at k=3 across the
@@ -1346,6 +1379,11 @@ object SparkEntry {
          | vdmpv(vdm_code, pv_code) AS (SELECT * FROM (VALUES $vdmPvSqlValues) v(vdm_code, pv_code)),
          | decoc(cde_code, dec_code, oc_code, oc_term) AS (
          |   SELECT * FROM (VALUES $decOcSqlValues) v(cde_code, dec_code, oc_code, oc_term)),
+         | decpr(dec_code, pr_code, pr_term, ncit_code) AS (
+         |   SELECT * FROM (VALUES $decPrSqlValues) v(dec_code, pr_code, pr_term, ncit_code)),
+         | ocg(oc_code, ncit_code) AS (SELECT * FROM (VALUES $ocGroundSqlValues) v(oc_code, ncit_code)),
+         | ncitv(code, vec) AS (SELECT code, vec FROM (VALUES
+         |  $ncitVecSqlValues) v(code, term, vec)),
          | syn(code, term) AS (SELECT * FROM (VALUES $synonymSqlValues) v(code, term)),
          | link_surf AS (SELECT DISTINCT norm, code FROM surf WHERE ty <> 'CDE'),
          | star AS (
@@ -1366,6 +1404,7 @@ object SparkEntry {
          |   UNION ALL SELECT DISTINCT vdm_code, 'VDM', 'value domain ' || vdm_code FROM cde
          |   UNION ALL SELECT DISTINCT dec_code, 'DEC', 'data element concept ' || dec_code FROM decoc
          |   UNION ALL SELECT DISTINCT oc_code, 'OC', oc_term FROM decoc
+         |   UNION ALL SELECT DISTINCT pr_code, 'PR', pr_term FROM decpr
          |   UNION ALL SELECT DISTINCT term, 'SYN', term FROM syn),
          | canon AS (
          |   SELECT a.code, a.label, a.term, coalesce(c.component, a.code) AS canonical
@@ -1386,10 +1425,21 @@ object SparkEntry {
          | base_edges AS (
          |   SELECT DISTINCT 'edge:HAS_CONCEPT' AS kind, pv_code AS a,
          |     ncit_code AS b, CAST(NULL AS VARCHAR) AS c FROM pv
+         |   UNION ALL SELECT DISTINCT 'edge:HAS_CONCEPT', oc_code, ncit_code, NULL FROM ocg
+         |   UNION ALL SELECT DISTINCT 'edge:HAS_CONCEPT', pr_code, ncit_code, NULL FROM decpr
          |   UNION ALL SELECT DISTINCT 'edge:HAS_VDM', cde_code, vdm_code, NULL FROM cde
          |   UNION ALL SELECT DISTINCT 'edge:HAS_PV', vdm_code, pv_code, NULL FROM vdmpv
          |   UNION ALL SELECT DISTINCT 'edge:HAS_DEC', cde_code, dec_code, NULL FROM decoc
-         |   UNION ALL SELECT DISTINCT 'edge:HAS_OC', dec_code, oc_code, NULL FROM decoc),
+         |   UNION ALL SELECT DISTINCT 'edge:HAS_OC', dec_code, oc_code, NULL FROM decoc
+         |   UNION ALL SELECT DISTINCT 'edge:HAS_PR', dec_code, pr_code, NULL FROM decpr),
+         | simranked AS (
+         |   SELECT a.code AS sa, b.code AS sb,
+         |     row_number() OVER (PARTITION BY a.code
+         |       ORDER BY ${duckCosine0("a.vec", "b.vec")} DESC, b.code) AS r
+         |   FROM ncitv a JOIN ncitv b ON a.code <> b.code),
+         | sim_edges AS (
+         |   SELECT 'edge:SIMILAR' AS kind, sa AS a, sb AS b,
+         |     CAST(NULL AS VARCHAR) AS c FROM simranked WHERE r <= 2),
          | has_syn AS (
          |   SELECT DISTINCT 'edge:HAS_SYNONYM' AS kind, code AS a, term AS b,
          |     CAST(NULL AS VARCHAR) AS c FROM syn)
@@ -1397,8 +1447,26 @@ object SparkEntry {
          |  SELECT * FROM verts UNION ALL SELECT * FROM maps_to
          |  UNION ALL SELECT * FROM same_as
          |  UNION ALL SELECT * FROM base_edges
+         |  UNION ALL SELECT * FROM sim_edges
          |  UNION ALL SELECT * FROM has_syn)
          |ORDER BY kind, a, b""".stripMargin,
+
+    // DuckDB twin of Triples.similarEdges: full double-cosine all-pairs
+    // with row_number top-2 per source, ties by code
+    "kg_similar_ncit" ->
+      s"""WITH ncitv(code, vec) AS (SELECT code, vec FROM (VALUES
+         |  $ncitVecSqlValues) v(code, term, vec)),
+         | scored AS (
+         |  SELECT a.code AS subj, b.code AS obj,
+         |    ${duckCosine0("a.vec", "b.vec")} AS cos
+         |  FROM ncitv a JOIN ncitv b ON a.code <> b.code),
+         | ranked AS (
+         |  SELECT subj, obj, cos,
+         |   row_number() OVER (PARTITION BY subj ORDER BY cos DESC, obj) AS r
+         |  FROM scored)
+         |SELECT subj, obj, ${floorRound("cos", "1e6")} AS score
+         |FROM ranked WHERE r <= 2
+         |ORDER BY subj, cos DESC, obj""".stripMargin,
 
     "kg_semantic_definition" ->
       s"""WITH defs(node_type, code, term, vec) AS (SELECT * FROM (VALUES
@@ -1407,7 +1475,7 @@ object SparkEntry {
          |  $semanticDefQuerySqlValues) v(query_id, qvec)),
          | scored AS (
          |  SELECT query_id, node_type, code, term,
-         |   ${duckCosine("qvec", "vec")} AS cos
+         |   ${duckCosine0("qvec", "vec")} AS cos
          |  FROM q CROSS JOIN defs),
          | ranked AS (
          |  SELECT query_id, node_type, code, term, cos,
@@ -1434,7 +1502,7 @@ object SparkEntry {
          |   SELECT * FROM (VALUES $cdeVdmSqlValues) v(cde_code, cde_term, vdm_code)),
          | vdmpv(vdm_code, pv_code) AS (SELECT * FROM (VALUES $vdmPvSqlValues) v(vdm_code, pv_code)),
          | scored AS (
-         |  SELECT query_id, code, term, ${duckCosine("qvec", "vec")} AS cos
+         |  SELECT query_id, code, term, ${duckCosine0("qvec", "vec")} AS cos
          |  FROM q CROSS JOIN ncitv),
          | ranked AS (
          |  SELECT query_id, code, term, cos,
@@ -1468,7 +1536,7 @@ object SparkEntry {
          |   SELECT * FROM (VALUES $cdeVdmSqlValues) v(cde_code, cde_term, vdm_code)),
          | vdmpv(vdm_code, pv_code) AS (SELECT * FROM (VALUES $vdmPvSqlValues) v(vdm_code, pv_code)),
          | scored AS (
-         |  SELECT query_id, code, term, ${duckCosine("qvec", "vec")} AS cos
+         |  SELECT query_id, code, term, ${duckCosine0("qvec", "vec")} AS cos
          |  FROM q CROSS JOIN pvv),
          | ranked AS (
          |  SELECT query_id, code, term, cos,
@@ -1590,9 +1658,10 @@ object SparkEntry {
     // or triple emission breaks this hash
     "kg_pipeline_full" ->
       """SELECT pred, CAST(n AS BIGINT) AS n FROM (VALUES
-        |  ('HAS_CONCEPT', 16), ('HAS_DEC', 7), ('HAS_OC', 7),
-        |  ('HAS_PV', 17), ('HAS_SYNONYM', 76), ('HAS_VDM', 8),
-        |  ('LINKED_TO', 2150), ('MAPS_TO', 14), ('SAME_AS', 9)) v(pred, n)
+        |  ('HAS_CONCEPT', 25), ('HAS_DEC', 7), ('HAS_OC', 7),
+        |  ('HAS_PR', 7), ('HAS_PV', 17), ('HAS_SYNONYM', 76),
+        |  ('HAS_VDM', 8), ('LINKED_TO', 2150), ('MAPS_TO', 14),
+        |  ('SAME_AS', 9)) v(pred, n)
         |ORDER BY pred""".stripMargin,
 
     // deterministic regression pin: IVF is seeded by fixed id hashes,

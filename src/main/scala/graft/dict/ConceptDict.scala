@@ -25,11 +25,13 @@ final case class ConceptDict(
     dec: DataFrame,            // (code, term)
     oc: Dataset[Concept],      // needs embeddings for OC-context rerank
     synonyms: Dataset[Synonym],        // HAS_SYNONYM: ncit code -> surface
-    hasConcept: Dataset[DictEdge],     // pv code -> ncit code (+ oc -> ncit)
+    hasConcept: Dataset[DictEdge],     // {pv|oc|pr} code -> ncit code (schema.png)
     hasVdm: Dataset[DictEdge],         // cde -> vdm
     hasPv: Dataset[DictEdge],          // vdm -> pv
     hasDec: Dataset[DictEdge],         // cde -> dec
-    hasOc: Dataset[DictEdge]) {        // dec -> oc
+    hasOc: Dataset[DictEdge],          // dec -> oc
+    pr: DataFrame,                     // (code, term) — DEC Property label
+    hasPr: Dataset[DictEdge]) {        // dec -> pr
 
   /** (norm surface, code, kind) for every linkable surface: NCIT
     * preferred terms + synonyms + PV terms. Used for the exact/synonym
@@ -77,7 +79,9 @@ object ConceptDict {
       hasVdm = t("has_vdm").as[DictEdge],
       hasPv = t("has_pv").as[DictEdge],
       hasDec = t("has_dec").as[DictEdge],
-      hasOc = t("has_oc").as[DictEdge])
+      hasOc = t("has_oc").as[DictEdge],
+      pr = t("pr"),
+      hasPr = t("has_pr").as[DictEdge])
   }
 
   /** Persist all tables (partitioned layout mirrors the production
@@ -95,5 +99,7 @@ object ConceptDict {
     d.hasPv.write.mode("overwrite").parquet(s"$dir/has_pv")
     d.hasDec.write.mode("overwrite").parquet(s"$dir/has_dec")
     d.hasOc.write.mode("overwrite").parquet(s"$dir/has_oc")
+    d.pr.write.mode("overwrite").parquet(s"$dir/pr")
+    d.hasPr.write.mode("overwrite").parquet(s"$dir/has_pr")
   }
 }

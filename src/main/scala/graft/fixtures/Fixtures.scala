@@ -142,6 +142,27 @@ object Fixtures {
     ("CDE2006", "DEC06", "OC02", "patient"),
     ("CDE2007", "DEC07", "OC01", "neoplasm"))
 
+  /** (dec, pr code, pr term, grounding ncit code): the DEC's Property
+    * component, grounded to NCIT — the DEC-[:HAS_PR]->PR-[:HAS_CONCEPT]
+    * ->NCIT path of reference schema.png (never traversed by reference
+    * code, present in its serving graph). One PR per DEC here. */
+  val decPr: Seq[(String, String, String, String)] = Seq(
+    ("DEC01", "PR01", "stage", "C18016"),
+    ("DEC02", "PR02", "vital status", "C37987"),
+    ("DEC03", "PR03", "gender", "C20197"),
+    ("DEC04", "PR04", "race", "C41261"),
+    ("DEC05", "PR05", "receptor status", "C40625"),
+    ("DEC06", "PR06", "smoking status", "C25298"),
+    ("DEC07", "PR07", "grade", "C62656"))
+
+  /** OC-[:HAS_CONCEPT]->NCIT grounding (schema.png). Deliberately
+    * PARTIAL: OC02 "patient" has no NCIT anchor in the fixture —
+    * ungrounded OCs are the common real-world case and the graph
+    * consumer must tolerate them. */
+  val ocGround: Seq[(String, String)] = Seq(
+    ("OC01", "C9305"),  // neoplasm -> malignant neoplasm
+    ("OC03", "C40625")) // receptor -> estrogen receptor status
+
   def dict(spark: SparkSession): ConceptDict = {
     import spark.implicits._
     val ncit = ncitRows.map { case (code, term, defn, _) =>
@@ -164,12 +185,21 @@ object Fixtures {
     // Concept rows silently keeps duplicates
     val oc = decOc.map { case (_, _, o, t) => (o, t) }.distinct
       .map { case (o, t) => Concept(o, t, None, "OC", embed(t)) }.toDS()
-    val hasConcept = pvRows.map { case (p, _, n) => DictEdge(p, n) }.toDS()
+    val pr = decPr.map { case (_, p, t, _) => (p, t) }.distinct.toDF("code", "term")
+    // HAS_CONCEPT spans its three source labels (schema.png):
+    // PV->NCIT (queried by reference code) + OC->NCIT + PR->NCIT
+    // grounding. Consumers that mean PV-only enforce the label by
+    // joining the pv vertex table (SynonymLookup, SemanticNcitSearch).
+    val hasConcept = (pvRows.map { case (p, _, n) => DictEdge(p, n) } ++
+      ocGround.map { case (o, n) => DictEdge(o, n) } ++
+      decPr.map { case (_, p, _, n) => DictEdge(p, n) }).toDS()
     val hasVdm = cdeRows.map { case (c, _, v) => DictEdge(c, v) }.toDS()
     val hasPv = vdmPv.toSeq.flatMap { case (v, ps) => ps.map(p => DictEdge(v, p)) }.toDS()
     val hasDec = decOc.map { case (c, d, _, _) => DictEdge(c, d) }.toDS()
     val hasOc = decOc.map { case (_, d, o, _) => DictEdge(d, o) }.distinct.toDS()
-    ConceptDict(ncit, pv, cde, vdm, dec, oc, syns, hasConcept, hasVdm, hasPv, hasDec, hasOc)
+    val hasPr = decPr.map { case (d, p, _, _) => DictEdge(d, p) }.toDS()
+    ConceptDict(ncit, pv, cde, vdm, dec, oc, syns, hasConcept, hasVdm, hasPv,
+      hasDec, hasOc, pr, hasPr)
   }
 
   // ---- transcript synthesis ----

@@ -60,12 +60,13 @@ object Triples {
 
   /** The BASE dictionary edges exactly as the reference's serving
     * graph exposes them (reference semantic_retrievers.py:108-109 and
-    * :224; labels at README.md:116-124): HAS_CONCEPT (PV->NCIT),
+    * :224; labels at README.md:116-124; full relationship set incl.
+    * HAS_PR in reference schema.png): HAS_CONCEPT ({PV,OC,PR}->NCIT),
     * HAS_VDM (CDE->VDM), HAS_PV (VDM->PV), HAS_DEC (CDE->DEC),
-    * HAS_OC (DEC->OC). MAPS_TO is the flatten DERIVED from these;
-    * the base edges ship alongside it so a consumer of the
-    * materialized tables can run every reference traversal (J3/J4/J5)
-    * without the in-memory ConceptDict. */
+    * HAS_OC (DEC->OC), HAS_PR (DEC->PR). MAPS_TO is the flatten
+    * DERIVED from these; the base edges ship alongside it so a
+    * consumer of the materialized tables can run every reference
+    * traversal (J3/J4/J5) without the in-memory ConceptDict. */
   def baseEdges(spark: SparkSession, dict: ConceptDict): DataFrame = {
     import spark.implicits._
     def e(ds: Dataset[graft.model.DictEdge], pred: String): DataFrame =
@@ -75,7 +76,54 @@ object Triples {
       .unionByName(e(dict.hasPv, "HAS_PV"))
       .unionByName(e(dict.hasDec, "HAS_DEC"))
       .unionByName(e(dict.hasOc, "HAS_OC"))
+      .unionByName(e(dict.hasPr, "HAS_PR"))
       .distinct()
+  }
+
+  /** NCIT-[:SIMILAR]->NCIT edges (the self-relation in reference
+    * schema.png): for each concept, its top-`k` most-similar OTHER
+    * concepts by term-embedding cosine, ties broken by code
+    * (score DESC, code ASC — the engine's pinned tie order).
+    *
+    * Spark shape: the NCIT matrix broadcasts (dictionary contract,
+    * ~10^5 x 64 floats) and each row heap-scans it — no cross join,
+    * no shuffle; O(|NCIT|^2) total cosines distributed over the
+    * concept partitions. For dictionaries too large to broadcast,
+    * derive candidates with [[graft.ops.Ann.lshTopK]]/[[graft.ops.Ann.ivfTopK]]
+    * self-joined instead (same output contract). */
+  def similarEdges(spark: SparkSession, dict: ConceptDict, k: Int = 2): DataFrame = {
+    import spark.implicits._
+    val arr: Array[(String, Array[Float])] = dict.ncit
+      .select($"code", $"embedding").as[(String, Array[Float])]
+      .collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(arr)
+    val kk = k
+    dict.ncit.select($"code", $"embedding").as[(String, Array[Float])]
+      .flatMap { case (code, v) =>
+        // bounded heap (O(C log k), worst-on-top; full double cosine on
+        // raw vectors so scores are bit-identical to the SQL oracle)
+        val heap = new java.util.PriorityQueue[(String, Double)](kk + 1,
+          (a: (String, Double), b: (String, Double)) => {
+            val c = java.lang.Double.compare(a._2, b._2)
+            if (c != 0) c else b._1.compareTo(a._1)
+          })
+        val cands = bc.value
+        var i = 0
+        while (i < cands.length) {
+          val (c2, v2) = cands(i)
+          if (c2 != code) {
+            heap.add((c2, graft.functions.VectorMath.cosine(v, v2)))
+            if (heap.size > kk) heap.poll()
+          }
+          i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        while (!heap.isEmpty) out += heap.poll()
+        out.sortBy { case (c, s) => (-s, c) }
+          .map { case (c2, s) => (code, c2, s) }
+      }
+      .toDF("subj", "obj", "score")
+      .select($"subj", lit("SIMILAR").as("pred"), $"obj", $"score")
   }
 
   def all(spark: SparkSession, links: Dataset[Link], dict: ConceptDict,
@@ -108,12 +156,13 @@ object Triples {
 
   /** Unified vertex table — one row per graph node across every label
     * (the Neo4j node store flattened into a single partitioned table,
-    * reference README.md:116-124 labels NCIT/PV/SYN/CDE/VDM/DEC/OC).
+    * reference README.md:116-124 labels NCIT/PV/SYN/CDE/VDM/DEC/OC,
+    * plus PR from reference schema.png).
     * SYN vertices are keyed by the synonym TERM (one vertex per
     * distinct surface; HAS_SYNONYM edges' obj is the term, so edge
     * endpoints join this table directly).
     * `canonical` applies the synonym-merge map (identity for codes
-    * outside the map — VDM/DEC/OC/SYN never participate in surface
+    * outside the map — VDM/DEC/OC/PR/SYN never participate in surface
     * sharing). Dictionary-sized, so the canonical join broadcasts. */
   def vertices(spark: SparkSession, dict: ConceptDict,
                canonical: DataFrame): DataFrame = {
@@ -123,6 +172,8 @@ object Triples {
     val plain = dict.vdm.select($"code", lit("VDM").as("label"), $"term",
         lit(null).cast("string").as("definition"))
       .unionByName(dict.dec.select($"code", lit("DEC").as("label"), $"term",
+        lit(null).cast("string").as("definition")))
+      .unionByName(dict.pr.select($"code", lit("PR").as("label"), $"term",
         lit(null).cast("string").as("definition")))
     val syn = dict.synonyms
       .select($"term".as("code"), lit("SYN").as("label"), $"term",

@@ -32,7 +32,9 @@ class SemanticNcitSearchSpec extends SparkTestBase {
       hasVdm = Seq(DictEdge("D1", "V1"), DictEdge("D2", "V1")).toDS(),
       hasPv = Seq(DictEdge("V1", "P1")).toDS(), // P2 in NO value domain
       hasDec = Seq.empty[DictEdge].toDS(),
-      hasOc = Seq.empty[DictEdge].toDS())
+      hasOc = Seq.empty[DictEdge].toDS(),
+      pr = Seq.empty[(String, String)].toDF("code", "term"),
+      hasPr = Seq.empty[DictEdge].toDS())
   }
 
   test("pv search: chainless PVs drop (inner J3); one row per (pv, cde) path") {

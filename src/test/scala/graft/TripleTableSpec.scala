@@ -16,8 +16,8 @@ class TripleTableSpec extends SparkTestBase {
     val preds = new java.io.File(dir).listFiles().map(_.getName)
       .filter(_.startsWith("pred=")).sorted
     assert(preds.sameElements(Array("pred=HAS_CONCEPT", "pred=HAS_DEC",
-      "pred=HAS_OC", "pred=HAS_PV", "pred=HAS_SYNONYM", "pred=HAS_VDM",
-      "pred=LINKED_TO", "pred=MAPS_TO", "pred=SAME_AS")))
+      "pred=HAS_OC", "pred=HAS_PR", "pred=HAS_PV", "pred=HAS_SYNONYM",
+      "pred=HAS_VDM", "pred=LINKED_TO", "pred=MAPS_TO", "pred=SAME_AS")))
     // predicate filter becomes a partition filter (no data read from
     // other predicates)
     val q = spark.read.parquet(dir).filter($"pred" === "LINKED_TO")
@@ -38,7 +38,7 @@ class TripleTableSpec extends SparkTestBase {
     val labels = new java.io.File(s"$dir/vertices").listFiles().map(_.getName)
       .filter(_.startsWith("label=")).sorted
     assert(labels.sameElements(Array("label=CDE", "label=DEC", "label=NCIT",
-      "label=OC", "label=PV", "label=SYN", "label=VDM")))
+      "label=OC", "label=PR", "label=PV", "label=SYN", "label=VDM")))
     // label filter prunes partitions
     val v = spark.read.parquet(s"$dir/vertices").filter($"label" === "NCIT")
     val plan = v.queryExecution.executedPlan.toString
@@ -86,6 +86,20 @@ class TripleTableSpec extends SparkTestBase {
     val plan = edge("HAS_VDM").queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(pred") &&
       plan.contains("HAS_VDM"), plan)
+    // the schema.png grounding paths run from tables alone too:
+    // DEC-[:HAS_PR]->PR-[:HAS_CONCEPT]->NCIT (PR label enforced via
+    // the vertex table) and OC-[:HAS_CONCEPT]->NCIT
+    val prVerts = spark.read.parquet(s"$dir/vertices")
+      .filter($"label" === "PR").select($"code".as("pr"))
+    val decToNcit = edge("HAS_PR").select($"subj".as("dec"), $"obj".as("pr"))
+      .join(prVerts, "pr")
+      .join(edge("HAS_CONCEPT").select($"subj".as("pr"), $"obj".as("ncit")), "pr")
+      .select($"dec", $"ncit").as[(String, String)].collect().toSet
+    assert(decToNcit == Fixtures.decPr.map { case (d, _, _, n) => (d, n) }.toSet)
+    val ocToNcit = edge("HAS_CONCEPT")
+      .filter($"subj".startsWith("OC"))
+      .select($"subj", $"obj").as[(String, String)].collect().toSet
+    assert(ocToNcit == Fixtures.ocGround.toSet) // OC02 stays ungrounded
     // and the reference J1 synonym hop also runs from tables alone:
     // NCIT code -> SYN vertices via HAS_SYNONYM edge -> SYN vertex rows
     val synEdges = edge("HAS_SYNONYM").filter($"subj" === "C4878")
@@ -95,6 +109,23 @@ class TripleTableSpec extends SparkTestBase {
     val terms = synEdges.join(synVerts, "code").select($"term")
       .as[String].collect().toSet
     assert(terms == Set("carcinoma of the lung", "lung cancer", "pulmonary carcinoma"))
+  }
+
+  test("SIMILAR self-relation: top-k cosine neighbors, no self-loops") {
+    val dict = Fixtures.dict(spark)
+    val rows = graft.triples.Triples.similarEdges(spark, dict, k = 2)
+      .select($"subj", $"obj", $"score").as[(String, String, Double)].collect()
+    assert(rows.length == Fixtures.ncitRows.size * 2)
+    assert(rows.forall { case (a, b, _) => a != b })
+    // distributed heap scan == driver-side brute force for one subject
+    val embed = Fixtures.ncitRows.map { case (c, t, _, _) =>
+      c -> Fixtures.embed(t) }.toMap
+    val expect = embed.keys.filter(_ != "C4878").toSeq
+      .map(c => (c, graft.functions.VectorMath.cosine(embed("C4878"), embed(c))))
+      .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1)
+    val got = rows.filter(_._1 == "C4878").sortBy(r => (-r._3, r._2))
+      .map(_._2).toSeq
+    assert(got == expect)
   }
 
   test("entry() flagship returns non-empty triples (driver smoke contract)") {
