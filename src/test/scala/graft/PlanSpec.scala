@@ -133,6 +133,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("SIMILAR edge derivation is a broadcast scan: no join operator at all") {
+    val df = graft.triples.Triples.similarEdges(spark, Fixtures.dict(spark), k = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the all-pairs cosine must stay inside the per-row heap scan of
+    // the broadcast matrix — a nested-loop/cartesian plan here would
+    // materialize |NCIT|^2 rows at production dictionary scale
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("salted aggregation equals direct groupBy (skew path correctness)") {
     val t = Seq.tabulate(500)(i => (s"conv-${i % 7}", i, s"text $i" * (i % 5 + 1)))
       .toDF("conv_id", "turn_idx", "text")
