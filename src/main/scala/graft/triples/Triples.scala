@@ -85,45 +85,31 @@ object Triples {
     * concepts by term-embedding cosine, ties broken by code
     * (score DESC, code ASC — the engine's pinned tie order).
     *
-    * Spark shape: the NCIT matrix broadcasts (dictionary contract,
-    * ~10^5 x 64 floats) and each row heap-scans it — no cross join,
-    * no shuffle; O(|NCIT|^2) total cosines distributed over the
-    * concept partitions. For dictionaries too large to broadcast,
-    * derive candidates with [[graft.ops.Ann.lshTopK]]/[[graft.ops.Ann.ivfTopK]]
-    * self-joined instead (same output contract). */
+    * Spark shape: delegates to [[graft.ops.Ann.bruteForceTopK]] — the
+    * NCIT matrix broadcasts (dictionary contract, ~10^5 x 64 floats)
+    * and each row heap-scans it (O(C log k)); no cross join, no
+    * shuffle. Exact; bit-identical to the SQL oracle. */
   def similarEdges(spark: SparkSession, dict: ConceptDict, k: Int = 2): DataFrame = {
     import spark.implicits._
-    val arr: Array[(String, Array[Float])] = dict.ncit
-      .select($"code", $"embedding").as[(String, Array[Float])]
-      .collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(arr)
-    val kk = k
-    dict.ncit.select($"code", $"embedding").as[(String, Array[Float])]
-      .flatMap { case (code, v) =>
-        // bounded heap (O(C log k), worst-on-top; full double cosine on
-        // raw vectors so scores are bit-identical to the SQL oracle)
-        val heap = new java.util.PriorityQueue[(String, Double)](kk + 1,
-          (a: (String, Double), b: (String, Double)) => {
-            val c = java.lang.Double.compare(a._2, b._2)
-            if (c != 0) c else b._1.compareTo(a._1)
-          })
-        val cands = bc.value
-        var i = 0
-        while (i < cands.length) {
-          val (c2, v2) = cands(i)
-          if (c2 != code) {
-            heap.add((c2, graft.functions.VectorMath.cosine(v, v2)))
-            if (heap.size > kk) heap.poll()
-          }
-          i += 1
-        }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-        while (!heap.isEmpty) out += heap.poll()
-        out.sortBy { case (c, s) => (-s, c) }
-          .map { case (c2, s) => (code, c2, s) }
-      }
-      .toDF("subj", "obj", "score")
-      .select($"subj", lit("SIMILAR").as("pred"), $"obj", $"score")
+    val vecs = dict.ncit.select($"code".as("id"), $"embedding".as("vec"))
+    graft.ops.Ann.bruteForceTopK(spark, vecs, vecs, k, excludeSelf = true)
+      .select($"query_id".as("subj"), lit("SIMILAR").as("pred"),
+        $"id".as("obj"), $"cos".as("score"))
+  }
+
+  /** [[similarEdges]] for dictionaries too large to broadcast:
+    * LSH-bucketed self-join via [[graft.ops.Ann.lshTopK]] (bucket-keyed
+    * shuffle, candidate pairs only — never all-pairs). APPROXIMATE:
+    * only same-bucket neighbors are scored, so recall < 1; raise
+    * `tables` / lower `nBits` to trade compute for recall
+    * (recall floor pinned on the fixture in TripleTableSpec). */
+  def similarEdgesAnn(spark: SparkSession, dict: ConceptDict, k: Int = 2,
+                      nBits: Int = 12, tables: Int = 4): DataFrame = {
+    import spark.implicits._
+    val vecs = dict.ncit.select($"code".as("id"), $"embedding".as("vec"))
+    graft.ops.Ann.lshTopK(spark, vecs, k, nBits, tables)
+      .select($"query_id".as("subj"), lit("SIMILAR").as("pred"),
+        $"id".as("obj"), $"cos".as("score"))
   }
 
   def all(spark: SparkSession, links: Dataset[Link], dict: ConceptDict,

@@ -126,6 +126,18 @@ class TripleTableSpec extends SparkTestBase {
     val got = rows.filter(_._1 == "C4878").sortBy(r => (-r._3, r._2))
       .map(_._2).toSeq
     assert(got == expect)
+    // the too-big-to-broadcast variant (LSH-bucketed self-join) keeps
+    // the same output contract and recovers a usable fraction of the
+    // exact edges even on this isotropic worst-case fixture
+    val exact = rows.map { case (a, b, _) => (a, b) }.toSet
+    val ann = graft.triples.Triples
+      .similarEdgesAnn(spark, dict, k = 2, nBits = 6, tables = 8)
+      .select($"subj", $"obj", $"score").as[(String, String, Double)].collect()
+    assert(ann.forall { case (a, b, _) => a != b })
+    val recall = ann.map { case (a, b, _) => (a, b) }.toSet
+      .intersect(exact).size.toDouble / exact.size
+    info(f"LSH SIMILAR recall@2 vs exact: $recall%.3f")
+    assert(recall >= 0.5, f"recall $recall%.3f")
   }
 
   test("entry() flagship returns non-empty triples (driver smoke contract)") {
