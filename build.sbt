@@ -52,3 +52,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UseTransparentHugePages",
   "-XX:+AlwaysPreTouch",
 )
+// The fixed 64g Xms above is sized for BENCHMARK runs (32 executor
+// threads over multi-GB corpora). Test JVMs work on fixture-sized data
+// and must not pre-commit 64 GB each — AlwaysPreTouch turns Xms into
+// an immediate hard commit, so `sbt test` next to a bench JVM would
+// demand 128 GB on this 125 GB box (OOM-killer territory) and fail
+// outright on smaller hosts. Tests keep the same fault-free-window
+// discipline at a fixture-appropriate heap.
+Test / javaOptions := (Test / javaOptions).value
+  .filterNot(o => o.startsWith("-Xmx") || o.startsWith("-Xms")) ++ {
+    val m = sys.env.getOrElse("SPARK_GRAFT_TEST_MEM", "24g")
+    Seq(s"-Xmx$m", s"-Xms$m")
+  }

@@ -46,6 +46,15 @@ object Bench {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_turns_${pid}_$nConvs"
       graft.fixtures.Fixtures.transcripts(spark, nConvs, 8)
         .write.mode("overwrite").parquet(dir)
+      // PID-unique dirs are never reused across JVMs (unlike the old
+      // fixed name, overwritten by the next run) — delete on exit or a
+      // multi-GB staged corpus leaks into tmpdir per bench invocation
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }))
       dir
     })
 

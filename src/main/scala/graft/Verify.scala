@@ -29,8 +29,10 @@ object Verify {
         val d = Paths.get(outDir, n)
         if (Files.exists(d)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(d).iterator().asScala.toSeq.reverse
+          val walk = Files.walk(d) // close the stream: it holds directory handles
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(p => Files.deleteIfExists(p))
+          finally walk.close()
         }
       }
     }

@@ -303,4 +303,51 @@ object BroadcastKnn {
     while (!heap.isEmpty) out += heap.poll()
     out.sortBy { case (c, s) => (-s, c) }.toSeq
   }
+
+  /** KNN of (query_id, text) rows against a broadcast (code, term,
+    * embedding) corpus — the shared kernel of the composed semantic
+    * searches ([[SemanticNcitSearch]] over NCIT, [[SemanticPvSearch]]
+    * over PV). Full double cosine on RAW vectors (bit-identical to the
+    * SQL oracles, unlike [[topK]]'s normalized-dot fast path) through
+    * a bounded heap (O(C log k)); one output row per hit, rank 1..k by
+    * (score DESC, code ASC). */
+  def scanTermTopK(spark: SparkSession, queries: DataFrame,
+                   corpus: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    // dictionary-sized broadcast (same contract as PreparedDict.vecs:
+    // ~10^5 concepts x 64 floats — always driver-safe; the query
+    // stream never passes through the driver)
+    val arr: Array[(String, String, Array[Float])] = corpus
+      .select(col("code"), col("term"), col("embedding"))
+      .as[(String, String, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(arr)
+    val kk = k
+    queries
+      .select(queries.col("query_id").cast("string"),
+        queries.col("text").cast("string"))
+      .as[(String, String)]
+      .flatMap { case (qid, text) =>
+        val qv = Vectorizer.vectorizeChar(text)
+        val heap = new java.util.PriorityQueue[(String, String, Double)](kk + 1,
+          (a: (String, String, Double), b: (String, String, Double)) => {
+            val c = java.lang.Double.compare(a._3, b._3)
+            if (c != 0) c else b._1.compareTo(a._1) // worst on top; ties evict larger code
+          })
+        val cands = bc.value
+        var i = 0
+        while (i < cands.length) {
+          val (code, term, v) = cands(i)
+          heap.add((code, term, graft.functions.VectorMath.cosine(qv, v)))
+          if (heap.size > kk) heap.poll()
+          i += 1
+        }
+        // successive polls yield worst-to-best: fill back-to-front
+        val out = new Array[(String, String, Double)](heap.size)
+        var j = heap.size - 1
+        while (j >= 0) { out(j) = heap.poll(); j -= 1 }
+        out.iterator.zipWithIndex.map { case ((code, term, s), r) =>
+          (qid, r + 1, code, term, s) }
+      }
+      .toDF("query_id", "rank", "code", "term", "score")
+  }
 }

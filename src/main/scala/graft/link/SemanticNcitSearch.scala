@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dict.ConceptDict
-import graft.functions.{VectorMath, Vectorizer}
 
 /** The reference's composed semantic NCIT search,
   * `find_cde_from_ncit_term` (reference semantic_retrievers.py:85-126):
@@ -41,32 +40,11 @@ object SemanticNcitSearch {
   def search(spark: SparkSession, queries: DataFrame, dict: ConceptDict,
              k: Int = DefaultK): DataFrame = {
     import spark.implicits._
-    // dictionary-sized broadcast (same contract as PreparedDict.vecs:
-    // ~10^5 concepts x 64 floats — always driver-safe; transcripts
-    // and query streams never pass through the driver)
-    val ncitArr: Array[(String, String, Array[Float])] = dict.ncit
-      .select($"code", $"term", $"embedding")
-      .as[(String, String, Array[Float])].collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(ncitArr)
-    val kk = k
-    val hits = queries
-      .select(queries.col("query_id").cast("string"),
-        queries.col("text").cast("string"))
-      .as[(String, String)]
-      .flatMap { case (qid, text) =>
-        val qv = Vectorizer.vectorizeChar(text)
-        val arr = bc.value
-        val scored = new Array[(String, String, Double)](arr.length)
-        var i = 0
-        while (i < arr.length) {
-          val (code, term, v) = arr(i)
-          scored(i) = (code, term, VectorMath.cosine(qv, v))
-          i += 1
-        }
-        scored.sortBy { case (c, _, s) => (-s, c) }.take(kk)
-          .zipWithIndex.map { case ((code, term, s), r) => (qid, r + 1, code, term, s) }
-      }
-      .toDF("query_id", "rank", "concept_code", "concept_term", "score")
+    // shared broadcast-KNN kernel (bounded heap, no shuffle)
+    val hits = BroadcastKnn.scanTermTopK(spark, queries,
+        dict.ncit.select($"code", $"term", $"embedding"), k)
+      .withColumnRenamed("code", "concept_code")
+      .withColumnRenamed("term", "concept_term")
 
     // (node)<-[:HAS_CONCEPT]-(pv:PV): inner join with the PV label
     // enforced by joining the pv vertex table

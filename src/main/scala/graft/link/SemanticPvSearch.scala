@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dict.ConceptDict
-import graft.functions.{VectorMath, Vectorizer}
 
 /** The reference's primary direct-library entry point,
   * `find_cde_from_pv_term` (reference semantic_retrievers.py:38-83;
@@ -34,29 +33,11 @@ object SemanticPvSearch {
   def search(spark: SparkSession, queries: DataFrame, dict: ConceptDict,
              k: Int = DefaultK): DataFrame = {
     import spark.implicits._
-    val pvArr: Array[(String, String, Array[Float])] = dict.pv
-      .select($"code", $"term", $"embedding")
-      .as[(String, String, Array[Float])].collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(pvArr)
-    val kk = k
-    val hits = queries
-      .select(queries.col("query_id").cast("string"),
-        queries.col("text").cast("string"))
-      .as[(String, String)]
-      .flatMap { case (qid, text) =>
-        val qv = Vectorizer.vectorizeChar(text)
-        val arr = bc.value
-        val scored = new Array[(String, String, Double)](arr.length)
-        var i = 0
-        while (i < arr.length) {
-          val (code, term, v) = arr(i)
-          scored(i) = (code, term, VectorMath.cosine(qv, v))
-          i += 1
-        }
-        scored.sortBy { case (c, _, s) => (-s, c) }.take(kk)
-          .zipWithIndex.map { case ((code, term, s), r) => (qid, r + 1, code, term, s) }
-      }
-      .toDF("query_id", "rank", "pv_code", "pv_term", "score")
+    // shared broadcast-KNN kernel (bounded heap, no shuffle)
+    val hits = BroadcastKnn.scanTermTopK(spark, queries,
+        dict.pv.select($"code", $"term", $"embedding"), k)
+      .withColumnRenamed("code", "pv_code")
+      .withColumnRenamed("term", "pv_term")
 
     // (node)<-[:HAS_PV]-(vdm)<-[:HAS_VDM]-(cde): inner 3-hop, with the
     // CDE vertex metadata joined in (dictionary-sized, broadcast)

@@ -38,9 +38,11 @@ object Ann {
                      k: Int, excludeSelf: Boolean = true,
                      maxBroadcast: Long = MaxBroadcastCorpus): DataFrame = {
     import spark.implicits._
-    val nCorpus = corpus.count()
+    // limit-bounded guard: counts at most maxBroadcast+1 rows instead
+    // of scanning the full corpus lineage a second time before collect
+    val nCorpus = corpus.limit((maxBroadcast + 1).toInt).count()
     require(nCorpus <= maxBroadcast,
-      s"bruteForceTopK corpus has $nCorpus rows > $maxBroadcast: " +
+      s"bruteForceTopK corpus exceeds $maxBroadcast rows: " +
         "too large to broadcast — use Ann.lshTopK or Ann.ivfTopK")
     val corpusArr: Array[(String, Array[Float])] = corpus
       .select(col("id").cast("string"), col("vec"))

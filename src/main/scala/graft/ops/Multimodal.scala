@@ -112,7 +112,10 @@ object Multimodal {
         if (payload.length < 54) return (0, 0, 0, cs, false)
         val w = le32(payload, 18); val h = le32(payload, 22)
         val bpp = le16(payload, 28)
-        val stride = ((bpp / 8 * w + 3) / 4) * 4
+        // stride in Long: a forged width near 2^30 overflows the int
+        // 3*w product and a negative stride would defeat the length
+        // check below, marking a truncated payload valid
+        val stride = ((bpp.toLong / 8 * w + 3) / 4) * 4
         if (w <= 0 || h <= 0 || bpp % 8 != 0 || bpp == 0 ||
             payload.length < 54 + h.toLong * stride) (0, 0, 0, cs, false)
         else (w, h, bpp / 8, cs, true)
@@ -124,7 +127,9 @@ object Multimodal {
             payload(10) != 'V' || payload(11) != 'E') return (0, 0, 0, cs, false)
         val ch = le16(payload, 22); val bits = le16(payload, 34)
         val dataLen = le32(payload, 40)
-        if (ch <= 0 || bits % 8 != 0 || bits == 0 ||
+        // dataLen < 0: a forged length field (e.g. 0xFFFFFFFF) decodes
+        // negative and would pass the truncation check below
+        if (ch <= 0 || bits % 8 != 0 || bits == 0 || dataLen < 0 ||
             payload.length < 44 + dataLen.toLong) (0, 0, 0, cs, false)
         else (dataLen / (ch * (bits / 8)), 1, ch, cs, true) // width = samples/channel
       } else {
@@ -147,7 +152,8 @@ object Multimodal {
     import org.apache.spark.sql.functions.col
     docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
-      .map { case (id, text) =>
+      .map { case (id, text0) =>
+        val text = if (text0 == null) "" else text0 // null text -> empty payload, not an NPE
         val tb = text.getBytes(StandardCharsets.UTF_8)
         def pm(s: String, m: Long): Int =
           (java.lang.Math.floorMod(graft.functions.Hashing.hash64(s), m) + 1).toInt

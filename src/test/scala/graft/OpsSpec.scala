@@ -212,6 +212,19 @@ class OpsSpec extends SparkTestBase {
     val wav = MediaSynth.wav(2, 8000, "samples".getBytes)
     wav(40) = 0x7f.toByte; wav(41) = 0x7f.toByte // dataLen >> payload
     assert(!Codec.decode(wav, 9, 9)._5)
+    // WAV whose length field decodes NEGATIVE (0xFFFFFFFF): must be
+    // quarantined, not passed off as valid with a negative width
+    val wavNeg = MediaSynth.wav(2, 8000, "samples".getBytes)
+    wavNeg(40) = 0xff.toByte; wavNeg(41) = 0xff.toByte
+    wavNeg(42) = 0xff.toByte; wavNeg(43) = 0xff.toByte
+    val (wn, _, _, _, okN) = Codec.decode(wavNeg, 9, 9)
+    assert(!okN && wn == 0)
+    // BMP with a forged width near 2^30: the int stride product
+    // overflows negative and must not defeat the truncation check
+    val bmpBig = MediaSynth.bmp(4, 3, "pixels".getBytes)
+    bmpBig(18) = 0xab.toByte; bmpBig(19) = 0xaa.toByte
+    bmpBig(20) = 0xaa.toByte; bmpBig(21) = 0x2a.toByte // w = 0x2AAAAAAB
+    assert(!Codec.decode(bmpBig, 9, 9)._5)
     // and through the full Spark path: corrupted rows flow as
     // valid=false rows, valid ones keep decoding
     val rows = Seq(

@@ -23,7 +23,7 @@ exec /opt/spark/bin/spark-submit \
   --master "$MASTER" \
   --class "$MAIN" \
   --driver-memory "${SPARK_DRIVER_MEM:-64g}" \
-  --driver-java-options "-XX:+UseTransparentHugePages -XX:+AlwaysPreTouch" \
+  --driver-java-options "-Xms${SPARK_DRIVER_MEM:-64g} -XX:+UseTransparentHugePages -XX:+AlwaysPreTouch" \
   --conf spark.ui.enabled=false \
   --conf spark.sql.session.timeZone=UTC \
   "$JAR"
