@@ -960,8 +960,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ======== training-data ops: multimodal (real BMP/WAV payloads;
-    // video container stays a stub) ========
+    // ======== training-data ops: multimodal (real BMP/WAV/AVI
+    // payloads, header-parsed decode, movi-walking frame sample) ========
 
     "mm_media_meta" -> ((s, dir) => {
       Multimodal.mediaFromText(T(s, dir, "documents"), "doc_id", "text")
@@ -1289,16 +1289,22 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // payload sizes re-derived per format: BMP = 54-byte header +
-    // h rows of stride ((3w+3)/4)*4 with hash-derived dims; WAV =
-    // 44-byte header + one byte per UTF-8 text byte; video = raw text
-    // bytes (the dims/channels hash twins live in SketchOracles)
+    // h rows of stride ((3w+3)/4)*4 with hash-derived dims (<=64);
+    // WAV = 44-byte header + one byte per UTF-8 text byte; AVI =
+    // 224-byte header region + nf frames of 8 + h*stride bytes with
+    // hash-derived dims <=16 and 1-4 frames (the hash twins live in
+    // SketchOracles)
     "mm_media_meta" -> {
       val w = "((((h1 % 64) + 64) % 64) + 1)"
       val h = "((((h2 % 64) + 64) % 64) + 1)"
+      val vw = "((((h1 % 16) + 16) % 16) + 1)"
+      val vh = "((((h2 % 16) + 16) % 16) + 1)"
+      val nf = "((((h3 % 4) + 4) % 4) + 1)"
       s"""WITH hashed AS (
          | SELECT doc_id, text,
          |  ${SketchOracles.mm_hash64_text} AS h1,
-         |  ${SketchOracles.mm_hash64_text_h} AS h2
+         |  ${SketchOracles.mm_hash64_text_h} AS h2,
+         |  ${SketchOracles.mm_hash64_text_f} AS h3
          | FROM documents)
          |SELECT doc_id AS media_id,
          | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
@@ -1306,7 +1312,8 @@ object SparkEntry {
          | CAST(CASE
          |  WHEN doc_id % 3 = 0 THEN 54 + $h * (((3 * $w + 3) // 4) * 4)
          |  WHEN doc_id % 3 = 1 THEN 44 + octet_length(encode(text))
-         |  ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes
+         |  ELSE 224 + $nf * (8 + $vh * (((3 * $vw + 3) // 4) * 4))
+         |  END AS BIGINT) AS n_bytes
          |FROM hashed ORDER BY media_id""".stripMargin
     },
 

@@ -10,14 +10,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * decoder instantiation per partition, vectorized iteration, stable
   * output schema).
   *
-  * Image and audio are REAL formats: [[MediaSynth]] writes valid
-  * BMP (24bpp, BITMAPINFOHEADER) and WAV (PCM, canonical 44-byte
-  * header) byte payloads, and [[Codec.decode]] PARSES those headers
-  * — dims/channels/sample counts come from the bytes, never from the
-  * declared columns; corrupted headers take the error path
-  * (valid = false) instead of killing the job. Only video remains a
-  * stub (no pure-JVM container format; payload is opaque bytes and
-  * decode falls back to declared metadata — honestly labeled).
+  * All three modalities are REAL formats: [[MediaSynth]] writes valid
+  * BMP (24bpp, BITMAPINFOHEADER), WAV (PCM, canonical 44-byte header)
+  * and AVI (RIFF, LIST hdrl/avih + vids/DIB stream + LIST movi of
+  * '00db' frames) byte payloads, and [[Codec.decode]] PARSES those
+  * headers — dims/channels/frame counts come from the bytes, never
+  * from the declared columns; corrupted headers take the error path
+  * (valid = false) instead of killing the job, and [[frameSample]]
+  * walks the actual movi chunk list. Unknown containers fall back to
+  * declared metadata (the quarantine-tolerant path a mixed 100 TB
+  * corpus needs).
   */
 object Multimodal {
 
@@ -63,6 +65,58 @@ object Multimodal {
       while (i < h * stride) {
         b(54 + i) = if (fill.length == 0) 0 else fill(i % fill.length)
         i += 1
+      }
+      b
+    }
+
+    /** Minimal standards-shaped AVI (RIFF 'AVI '): LIST hdrl with
+      * avih + one 'vids'/'DIB ' stream (strh + strf BITMAPINFOHEADER,
+      * 24bpp, 10 fps), then LIST movi holding `nFrames` uncompressed
+      * '00db' frames of h x stride bytes. Frame i's pixel area cycles
+      * `fill` starting at offset i (zeros when empty) — fully
+      * deterministic so the DuckDB oracle rebuilds the byte stream.
+      * Fixed layout: header region is exactly 224 bytes, frame chunk i
+      * begins at 224 + i*(8 + h*stride). */
+    def avi(w: Int, h: Int, nFrames: Int, fill: Array[Byte]): Array[Byte] = {
+      val stride = ((3 * w + 3) / 4) * 4
+      val flen = h * stride
+      val total = 224 + nFrames * (8 + flen)
+      val b = new Array[Byte](total)
+      def fourcc(off: Int, s: String): Unit = {
+        var i = 0; while (i < 4) { b(off + i) = s.charAt(i).toByte; i += 1 }
+      }
+      fourcc(0, "RIFF"); le32(b, 4, total - 8); fourcc(8, "AVI ")
+      fourcc(12, "LIST"); le32(b, 16, 192); fourcc(20, "hdrl")
+      fourcc(24, "avih"); le32(b, 28, 56)
+      le32(b, 32, 100000)        // usPerFrame (10 fps)
+      le32(b, 48, nFrames)       // totalFrames
+      le32(b, 56, 1)             // streams
+      le32(b, 60, flen)          // suggestedBufferSize
+      le32(b, 64, w); le32(b, 68, h)
+      fourcc(88, "LIST"); le32(b, 92, 116); fourcc(96, "strl")
+      fourcc(100, "strh"); le32(b, 104, 56)
+      fourcc(108, "vids"); fourcc(112, "DIB ")
+      le32(b, 128, 1)            // scale
+      le32(b, 132, 10)           // rate -> 10 fps
+      le32(b, 140, nFrames)      // stream length in frames
+      le32(b, 144, flen)         // suggestedBufferSize
+      le16(b, 160, w); le16(b, 162, h) // rcFrame right/bottom
+      fourcc(164, "strf"); le32(b, 168, 40)
+      le32(b, 172, 40); le32(b, 176, w); le32(b, 180, h)
+      le16(b, 184, 1); le16(b, 186, 24)
+      le32(b, 192, flen); le32(b, 196, 2835); le32(b, 200, 2835)
+      fourcc(212, "LIST"); le32(b, 216, 4 + nFrames * (8 + flen))
+      fourcc(220, "movi")
+      var f = 0
+      while (f < nFrames) {
+        val off = 224 + f * (8 + flen)
+        fourcc(off, "00db"); le32(b, off + 4, flen)
+        var j = 0
+        while (j < flen) {
+          b(off + 8 + j) = if (fill.length == 0) 0 else fill((f + j) % fill.length)
+          j += 1
+        }
+        f += 1
       }
       b
     }
@@ -119,12 +173,12 @@ object Multimodal {
         if (w <= 0 || h <= 0 || bpp % 8 != 0 || bpp == 0 ||
             payload.length < 54 + h.toLong * stride) (0, 0, 0, cs, false)
         else (w, h, bpp / 8, cs, true)
-      } else if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I' &&
-                 payload(2) == 'F' && payload(3) == 'F') {
+      } else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+                 payload(2) == 'F' && payload(3) == 'F' &&
+                 payload(8) == 'W' && payload(9) == 'A' &&
+                 payload(10) == 'V' && payload(11) == 'E') {
         // WAV: channels @22 (LE16), bits @34 (LE16), dataLen @40 (LE32)
-        if (payload.length < 44 ||
-            payload(8) != 'W' || payload(9) != 'A' ||
-            payload(10) != 'V' || payload(11) != 'E') return (0, 0, 0, cs, false)
+        if (payload.length < 44) return (0, 0, 0, cs, false)
         val ch = le16(payload, 22); val bits = le16(payload, 34)
         val dataLen = le32(payload, 40)
         // dataLen < 0: a forged length field (e.g. 0xFFFFFFFF) decodes
@@ -132,8 +186,31 @@ object Multimodal {
         if (ch <= 0 || bits % 8 != 0 || bits == 0 || dataLen < 0 ||
             payload.length < 44 + dataLen.toLong) (0, 0, 0, cs, false)
         else (dataLen / (ch * (bits / 8)), 1, ch, cs, true) // width = samples/channel
+      } else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+                 payload(2) == 'F' && payload(3) == 'F' &&
+                 payload(8) == 'A' && payload(9) == 'V' &&
+                 payload(10) == 'I' && payload(11) == ' ') {
+        // AVI (MediaSynth.avi layout): avih at fixed offset 24 inside
+        // LIST hdrl — totalFrames @48, width @64, height @68; bpp from
+        // the strf BITMAPINFOHEADER @186 (LE16)
+        if (payload.length < 224 ||
+            payload(12) != 'L' || payload(20) != 'h' ||
+            payload(24) != 'a' || payload(25) != 'v' ||
+            payload(26) != 'i' || payload(27) != 'h') return (0, 0, 0, cs, false)
+        val nf = le32(payload, 48)
+        val w = le32(payload, 64); val h = le32(payload, 68)
+        val bpp = le16(payload, 186)
+        val stride = ((bpp.toLong / 8 * w + 3) / 4) * 4
+        if (w <= 0 || h <= 0 || nf < 0 || bpp % 8 != 0 || bpp == 0 ||
+            payload.length < 224 + nf.toLong * (8 + h.toLong * stride))
+          (0, 0, 0, cs, false)
+        else (w, h, bpp / 8, cs, true)
+      } else if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I' &&
+                 payload(2) == 'F' && payload(3) == 'F') {
+        // RIFF magic with an unknown/truncated form tag
+        (0, 0, 0, cs, false)
       } else {
-        // video stub: opaque container, trust declared dims
+        // unknown container: opaque bytes, trust declared dims
         (declaredW, declaredH, 3, cs, true)
       }
     }
@@ -165,7 +242,9 @@ object Multimodal {
             val ch = pm(text + "|c", 2)
             MediaRow(id, "audio", MediaSynth.wav(ch, 8000, tb), tb.length / ch, 1)
           case _ =>
-            MediaRow(id, "video", tb, pm(text, 1920), pm(text + "|h", 1080))
+            val w = pm(text, 16); val h = pm(text + "|h", 16)
+            val nf = pm(text + "|f", 4)
+            MediaRow(id, "video", MediaSynth.avi(w, h, nf, tb), w, h)
         }
       }.toDF()
   }
@@ -185,21 +264,55 @@ object Multimodal {
     }
   }
 
-  /** Deterministic frame sampling for video rows: every `everyMs`
-    * millisecond up to a duration derived from payload size (stub),
-    * exploded to one row per sampled frame. */
+  /** Deterministic frame sampling for video rows. AVI payloads are
+    * REAL: the movi chunk list is walked, each '00db' frame's actual
+    * bytes are checksummed, and offset_ms comes from the stream's
+    * scale/rate clock. Non-AVI video payloads (opaque containers)
+    * fall back to the byte-slice stub: every `everyMs` ms up to a
+    * duration derived from payload size. */
   def frameSample(spark: SparkSession, media: DataFrame, everyMs: Int = 1000,
                   maxFrames: Int = 8): Dataset[FrameRow] = {
     import spark.implicits._
     media.as[MediaRow].filter(_.kind == "video").mapPartitions { rows =>
       rows.flatMap { r =>
-        val durationMs = math.min(maxFrames * everyMs, r.payload.length * 10)
-        (0 until durationMs by everyMs).iterator.zipWithIndex.map { case (off, idx) =>
-          val sliceEnd = math.min(r.payload.length, (off / 10) + 32)
-          val slice = java.util.Arrays.copyOfRange(r.payload, math.min(off / 10, sliceEnd), sliceEnd)
-          var cs = 1469598103934665603L
-          slice.foreach(bb => { cs = (cs ^ (bb & 0xff)) * 1099511628211L })
-          FrameRow(r.media_id, idx, off, cs)
+        val p = r.payload
+        val (w, h, chn, _, isAvi) =
+          if (p.length >= 12 && p(0) == 'R' && p(8) == 'A' && p(9) == 'V' &&
+              p(10) == 'I' && p(11) == ' ') Codec.decode(p, 0, 0)
+          else (0, 0, 0, 0L, false)
+        if (isAvi) {
+          val stride = ((chn * w + 3) / 4) * 4
+          val flen = h * stride
+          val nf = {
+            var v = 0L; var i = 0
+            while (i < 4) { v |= (p(48 + i) & 0xffL) << (8 * i); i += 1 }
+            v.toInt
+          }
+          // frame clock: scale @128 / rate @132 (le32) -> ms per frame
+          def le32At(off: Int): Long = {
+            var v = 0L; var i = 0
+            while (i < 4) { v |= (p(off + i) & 0xffL) << (8 * i); i += 1 }
+            v
+          }
+          val msPerFrame = (1000L * le32At(128) / math.max(1L, le32At(132))).toInt
+          (0 until nf).iterator.map { fi =>
+            val off = 224 + fi * (8 + flen)
+            var cs = 1469598103934665603L
+            var j = 0
+            while (j < flen) {
+              cs = (cs ^ (p(off + 8 + j) & 0xff)) * 1099511628211L; j += 1
+            }
+            FrameRow(r.media_id, fi, fi * msPerFrame, cs)
+          }
+        } else {
+          val durationMs = math.min(maxFrames * everyMs, p.length * 10)
+          (0 until durationMs by everyMs).iterator.zipWithIndex.map { case (off, idx) =>
+            val sliceEnd = math.min(p.length, (off / 10) + 32)
+            val slice = java.util.Arrays.copyOfRange(p, math.min(off / 10, sliceEnd), sliceEnd)
+            var cs = 1469598103934665603L
+            slice.foreach(bb => { cs = (cs ^ (bb & 0xff)) * 1099511628211L })
+            FrameRow(r.media_id, idx, off, cs)
+          }
         }
       }
     }

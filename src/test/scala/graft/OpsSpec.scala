@@ -173,7 +173,7 @@ class OpsSpec extends SparkTestBase {
     assert(r.getInt(1) == 6)
   }
 
-  test("multimodal decode parses real BMP/WAV headers; deterministic") {
+  test("multimodal decode parses real BMP/WAV/AVI headers; deterministic") {
     val media = Multimodal.mediaFromText(docs, "doc_id", "text")
     val d1 = Multimodal.decode(spark, media).orderBy("media_id").collect()
     val d2 = Multimodal.decode(spark, media.repartition(7)).orderBy("media_id").collect()
@@ -191,8 +191,40 @@ class OpsSpec extends SparkTestBase {
     val aud = d1.filter(_.kind == "audio")
     assert(aud.nonEmpty && aud.forall(r =>
       (r.channels == 1 || r.channels == 2) && r.height == 1 && r.width > 0))
+    // video rows: dims parsed from the AVI avih header (<=16), 24bpp
+    val vid = d1.filter(_.kind == "video")
+    val vDeclared = media.filter($"kind" === "video")
+      .select($"media_id", $"declared_w", $"declared_h")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(vid.nonEmpty && vid.forall(r =>
+      (r.width, r.height) == vDeclared(r.media_id) &&
+        r.width <= 16 && r.height <= 16 && r.channels == 3))
+    // frame sampling walks the REAL movi chunk list: 1-4 frames per
+    // video at the stream's 100 ms clock, indexes contiguous from 0
     val frames = Multimodal.frameSample(spark, media).collect()
-    assert(frames.nonEmpty && frames.forall(_.offset_ms % 1000 == 0))
+    assert(frames.nonEmpty && frames.forall(f => f.offset_ms == f.frame_idx * 100))
+    val byId = frames.groupBy(_.media_id)
+    assert(byId.values.forall(fs => fs.length >= 1 && fs.length <= 4 &&
+      fs.map(_.frame_idx).sorted.sameElements(0 until fs.length)))
+    assert(byId.keySet == vid.map(_.media_id).toSet)
+  }
+
+  test("avi round-trip: synthesized container parses back to its inputs") {
+    import Multimodal.{Codec, MediaSynth}
+    val fill = "framedata".getBytes
+    val avi = MediaSynth.avi(5, 3, 2, fill)
+    val (w, h, ch, _, ok) = Codec.decode(avi, 0, 0)
+    assert(ok && w == 5 && h == 3 && ch == 3)
+    val stride = ((3 * 5 + 3) / 4) * 4 // 16-aligned row: 16 bytes
+    assert(avi.length == 224 + 2 * (8 + 3 * stride))
+    // frame 1's first pixel byte is fill(1) (cycled from offset fi)
+    assert(avi(224 + (8 + 3 * stride) + 8) == fill(1))
+    // corrupt the avih fourCC -> quarantined
+    val bad = avi.clone(); bad(24) = 'x'
+    assert(!Codec.decode(bad, 0, 0)._5)
+    // truncate mid-movi -> structurally unsound
+    val short = java.util.Arrays.copyOfRange(avi, 0, avi.length - 4)
+    assert(!Codec.decode(short, 0, 0)._5)
   }
 
   test("multimodal decode quarantines corrupted headers (valid=false, no throw)") {

@@ -312,6 +312,74 @@ def le16_h(v):
 def bytes_h(*vals):
     return "[" + ", ".join(f"{v}::HUGEINT" for v in vals) + "]"
 
+def avi_header():
+    """The fixed 224-byte header region of MediaSynth.avi as a HUGEINT
+    byte list, in terms of SQL columns w, ht, nf, flen (RIFF 'AVI ' +
+    LIST hdrl [avih + LIST strl [strh vids/'DIB ' + strf
+    BITMAPINFOHEADER 24bpp]] + LIST movi tag)."""
+    return ("flatten(["
+            + ", ".join([
+                bytes_h(82, 73, 70, 70),       # 'RIFF'
+                le32_h("216 + nf*(8 + flen)"), # riff size = total - 8
+                bytes_h(65, 86, 73, 32),       # 'AVI '
+                bytes_h(76, 73, 83, 84),       # 'LIST'
+                le32_h("192"),
+                bytes_h(104, 100, 114, 108),   # 'hdrl'
+                bytes_h(97, 118, 105, 104),    # 'avih'
+                le32_h("56"),
+                le32_h("100000"),              # usPerFrame (10 fps)
+                le32_h("0"), le32_h("0"), le32_h("0"),
+                le32_h("nf"),                  # totalFrames
+                le32_h("0"),
+                le32_h("1"),                   # streams
+                le32_h("flen"),                # suggestedBufferSize
+                le32_h("w"), le32_h("ht"),
+                le32_h("0"), le32_h("0"), le32_h("0"), le32_h("0"),
+                bytes_h(76, 73, 83, 84),       # 'LIST'
+                le32_h("116"),
+                bytes_h(115, 116, 114, 108),   # 'strl'
+                bytes_h(115, 116, 114, 104),   # 'strh'
+                le32_h("56"),
+                bytes_h(118, 105, 100, 115),   # 'vids'
+                bytes_h(68, 73, 66, 32),       # 'DIB '
+                le32_h("0"), le32_h("0"), le32_h("0"),
+                le32_h("1"),                   # scale
+                le32_h("10"),                  # rate
+                le32_h("0"),
+                le32_h("nf"),                  # stream length
+                le32_h("flen"),
+                le32_h("0"), le32_h("0"),
+                le16_h("0"), le16_h("0"),      # rcFrame left, top
+                le16_h("w"), le16_h("ht"),     # rcFrame right, bottom
+                bytes_h(115, 116, 114, 102),   # 'strf'
+                le32_h("40"),
+                le32_h("40"), le32_h("w"), le32_h("ht"),
+                le16_h("1"), le16_h("24"),
+                le32_h("0"),
+                le32_h("flen"),
+                le32_h("2835"), le32_h("2835"),
+                le32_h("0"), le32_h("0"),
+                bytes_h(76, 73, 83, 84),       # 'LIST'
+                le32_h("4 + nf*(8 + flen)"),
+                bytes_h(109, 111, 118, 105)])  # 'movi'
+            + "])")
+
+def avi_frame_bytes(fi="fi"):
+    """Frame fi's pixel bytes: `fill` (= tb) cycled starting at offset
+    fi, zeros when the text is empty — MediaSynth.avi's fill rule."""
+    return (f"[CASE WHEN dlen = 0 THEN 0::HUGEINT"
+            f" ELSE tb[(({fi} + j) % dlen) + 1] END for j in range(flen)]")
+
+def avi_frames():
+    """All movi child chunks: '00db' + le32(flen) + frame bytes, one
+    per frame index."""
+    return ("flatten([flatten(["
+            + bytes_h(48, 48, 100, 98)   # '00db'
+            + ", " + le32_h("flen")
+            + ", " + avi_frame_bytes("fi")
+            + "]) for fi in range(nf)])")
+
+
 def gen_mm_decode():
     """Twin of Multimodal.decode over mediaFromText(documents), which
     now synthesizes REAL formats: the oracle rebuilds the exact BMP
@@ -319,8 +387,8 @@ def gen_mm_decode():
     bytes) and WAV (PCM 8-bit, hash-derived 1-2 channels, data = text
     bytes) byte streams in HUGEINT lists, FNV-folds them for the
     checksum, and reads dims/channels the way the header parser does.
-    Video stays the opaque stub (checksum over raw text bytes,
-    declared 1920/1080 hash dims)."""
+    Video is a real minimal AVI (RIFF hdrl/movi, 24bpp DIB frames,
+    hash-derived dims <= 16 and 1-4 frames of cycled text bytes)."""
     cs_basis = "1469598103934665603::HUGEINT"
     # --- image branch ---
     w = let(to_bigint(hash64("text")), lambda h:
@@ -362,12 +430,15 @@ def gen_mm_decode():
                   + "])")
     wav_cs = to_bigint(fnv1a_over(f"list_concat({wav_header}, tb)",
                                   basis=cs_basis))
-    # --- video stub branch ---
+    # --- video branch: real AVI (MediaSynth.avi fixed layout) ---
     vw = let(to_bigint(hash64("text")), lambda h:
-             f"CAST((({h} % 1920) + 1920) % 1920 + 1 AS INT)")
+             f"CAST((({h} % 16) + 16) % 16 + 1 AS INT)")
     vh = let(to_bigint(hash64("text || '|h'")), lambda h:
-             f"CAST((({h} % 1080) + 1080) % 1080 + 1 AS INT)")
-    vid_cs = to_bigint(fnv1a_over("tb", basis=cs_basis))
+             f"CAST((({h} % 16) + 16) % 16 + 1 AS INT)")
+    vnf = let(to_bigint(hash64("text || '|f'")), lambda h:
+              f"CAST((({h} % 4) + 4) % 4 + 1 AS INT)")
+    avi_cs = to_bigint(fnv1a_over(
+        f"list_concat({avi_header()}, {avi_frames()})", basis=cs_basis))
     return f"""WITH src AS (
   SELECT doc_id, text, {utf8_bytes('text')} AS tb FROM documents
 ),
@@ -393,12 +464,19 @@ aud_out AS (
     ch AS channels, {wav_cs} AS checksum, CAST(1 AS INT) AS valid
   FROM aud
 ),
+vid AS (
+  SELECT doc_id, tb, len(tb) AS dlen, w, ht, nf,
+         ((3*w + 3) // 4) * 4 AS stride,
+         ht * (((3*w + 3) // 4) * 4) AS flen
+  FROM (SELECT doc_id, tb, {vw} AS w, {vh} AS ht, {vnf} AS nf
+        FROM src WHERE doc_id % 3 = 2)
+),
 vid_out AS (
   SELECT doc_id AS media_id, 'video' AS kind,
-    CAST(len(tb) AS INT) AS n_bytes,
-    {vw} AS width, {vh} AS height, CAST(3 AS INT) AS channels,
-    {vid_cs} AS checksum, CAST(1 AS INT) AS valid
-  FROM src WHERE doc_id % 3 = 2
+    CAST(224 + nf * (8 + flen) AS INT) AS n_bytes,
+    w AS width, ht AS height, CAST(3 AS INT) AS channels,
+    {avi_cs} AS checksum, CAST(1 AS INT) AS valid
+  FROM vid
 )
 SELECT * FROM (
   SELECT * FROM img_out UNION ALL SELECT * FROM aud_out
@@ -414,25 +492,35 @@ def gen_mm_hash64_text():
 def gen_mm_hash64_text_h():
     return to_bigint(hash64("text || '|h'"))
 
+def gen_mm_hash64_text_f():
+    return to_bigint(hash64("text || '|f'"))
+
 
 def gen_mm_frame_sample():
-    """Twin of Multimodal.frameSample (everyMs=1000, maxFrames=8) on
-    the video rows (doc_id%3=2): durationMs = min(8000, n_bytes*10),
-    frame at every 1000ms; per frame the FakeCodec fold over payload
-    bytes [offset/10, min(n_bytes, offset/10+32))."""
-    slice_cs = to_bigint(fnv1a_over(
-        "bytes[fi*100 + 1 : least(len(bytes), fi*100 + 32)]",
-        basis="1469598103934665603::HUGEINT"))
+    """Twin of Multimodal.frameSample over the REAL AVI video rows
+    (doc_id%3=2): one row per movi '00db' frame, offset_ms from the
+    stream clock (scale=1/rate=10 -> 100 ms/frame), frame_checksum =
+    FNV over the frame's actual pixel bytes (tb cycled from offset
+    fi, MediaSynth.avi's fill rule)."""
+    vw = let(to_bigint(hash64("text")), lambda h:
+             f"CAST((({h} % 16) + 16) % 16 + 1 AS INT)")
+    vh = let(to_bigint(hash64("text || '|h'")), lambda h:
+             f"CAST((({h} % 16) + 16) % 16 + 1 AS INT)")
+    vnf = let(to_bigint(hash64("text || '|f'")), lambda h:
+              f"CAST((({h} % 4) + 4) % 4 + 1 AS INT)")
+    frame_cs = to_bigint(fnv1a_over(avi_frame_bytes("fi"),
+                                    basis="1469598103934665603::HUGEINT"))
     return f"""WITH vids AS (
-  SELECT doc_id, {utf8_bytes('text')} AS bytes FROM documents
-  WHERE doc_id % 3 = 2
+  SELECT doc_id, tb, len(tb) AS dlen, w, ht, nf,
+         ht * (((3*w + 3) // 4) * 4) AS flen
+  FROM (SELECT doc_id, {utf8_bytes('text')} AS tb,
+          {vw} AS w, {vh} AS ht, {vnf} AS nf
+        FROM documents WHERE doc_id % 3 = 2)
 ),
 frames AS (
   SELECT doc_id, CAST(fi AS INT) AS frame_idx,
-         CAST(fi * 1000 AS INT) AS offset_ms, {slice_cs} AS frame_checksum
-  FROM (SELECT doc_id, bytes,
-          unnest(range((least(8000, len(bytes)*10) + 999) // 1000)) AS fi
-        FROM vids)
+         CAST(fi * 100 AS INT) AS offset_ms, {frame_cs} AS frame_checksum
+  FROM (SELECT doc_id, tb, dlen, flen, unnest(range(nf)) AS fi FROM vids)
 )
 SELECT doc_id AS media_id, frame_idx, offset_ms, frame_checksum
 FROM frames ORDER BY media_id, frame_idx"""
@@ -449,6 +537,7 @@ ORACLES = {
     # assembled in SparkEntry:
     "mm_hash64_text": gen_mm_hash64_text,
     "mm_hash64_text_h": gen_mm_hash64_text_h,
+    "mm_hash64_text_f": gen_mm_hash64_text_f,
 }
 
 SCALA_HEADER = """package graft
