@@ -886,6 +886,20 @@ object SparkEntry {
       Dedup.simHash(T(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
     }),
 
+    // composed LSH-then-verify (the 100 TB near-dup pipeline shape):
+    // MinHash-band candidates pruned at est>=0.5, exact distinct-token
+    // Jaccard on the survivors at >=0.7. HALF_UP floor-rounding both
+    // sides: est_jaccard = k/64 hits exact halfway doubles where
+    // round() diverges between the engines.
+    "dedup_lsh_verified" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      def r4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+      Dedup.lshVerified(T(s, dir, "documents"), "doc_id", "text",
+        estThreshold = 0.5, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), r4(col("est_jaccard")).as("est_jaccard"),
+          r4(col("jaccard")).as("jaccard"))
+    }),
+
     // exact verify-side of near-dup detection. Bounded demo subset:
     // this synthetic corpus shares one tiny vocabulary, so the token
     // inverted index degenerates to all-pairs; at scale the candidate
@@ -1695,6 +1709,7 @@ object SparkEntry {
     // distributed plan. See tools/gen_sketch_oracles.py. ====
     "dedup_simhash" -> SketchOracles.dedup_simhash,
     "dedup_minhash_lsh" -> SketchOracles.dedup_minhash_lsh,
+    "dedup_lsh_verified" -> SketchOracles.dedup_lsh_verified,
     "ann_lsh_topk" -> SketchOracles.ann_lsh_topk,
     "ann_ivf_topk" -> SketchOracles.ann_ivf_topk,
     "mm_decode" -> SketchOracles.mm_decode,

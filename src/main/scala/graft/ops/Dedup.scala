@@ -52,6 +52,36 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The production near-dup pipeline shape at 100 TB: LSH-then-verify.
+    * MinHash banding proposes candidate pairs (bucket self-join —
+    * never all-pairs), the signature estimate prunes them at
+    * `estThreshold`, and the EXACT distinct-token Jaccard is computed
+    * only on the survivors, keeping pairs >= `threshold`. Compared to
+    * [[ngramJaccard]] (exact, prefix-filtered inverted index), this
+    * trades a bounded recall loss (a true pair all bands miss) for
+    * candidate generation that scales with bucket collisions instead
+    * of document-frequency lists — the variant that wins when the
+    * corpus shares a heavy vocabulary. Output: (id_a, id_b,
+    * est_jaccard, jaccard), canonical id_a < id_b. */
+  def lshVerified(docs: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 64, bands: Int = 16,
+                  estThreshold: Double = 0.5, threshold: Double = 0.7): DataFrame = {
+    val cand = minHashLsh(docs, idCol, textCol, numHashes, bands, estThreshold)
+    val toks = docs.select(col(idCol).as("id"),
+      array_distinct(split(Functions.norm_text(col(textCol)), " ")).as("toks"))
+      .select(col("id"), size(col("toks")).as("ntok"), explode(col("toks")).as("token"))
+    val a = toks.select(col("id").as("id_a"), col("ntok").as("ntok_a"), col("token"))
+    val b = toks.select(col("id").as("id_b"), col("ntok").as("ntok_b"), col("token"))
+    cand.join(a, "id_a").join(b, Seq("id_b", "token"))
+      .groupBy("id_a", "id_b", "est_jaccard", "ntok_a", "ntok_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("ntok_a") + col("ntok_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Split a signature array into `bands` arrays of `rows` elements,
     * hashing each band to one long (xxhash64 over the slice). */
   private def bandArray(sig: Column, bands: Int, rows: Int): Column =

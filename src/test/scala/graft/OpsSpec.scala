@@ -31,6 +31,22 @@ class OpsSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(5L) && Set(a, b).contains(3L) })
   }
 
+  test("lsh-then-verify: exact jaccard only on LSH candidates, subset of exact op") {
+    val out = Dedup.lshVerified(docs, "doc_id", "text",
+      estThreshold = 0.3, threshold = 0.5).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Double]("jaccard") >= 0.5 &&
+      r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    val pairs = out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 2L))) // exact dup survives verify at 1.0
+    assert(pairs.contains((0L, 1L))) // near dup (one token differs)
+    // LSH-proposed + verified pairs are a subset of the exact
+    // prefix-filtered operator's output at the same threshold
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(exact))
+  }
+
   test("simhash finds near dups within hamming budget") {
     val pairs = Dedup.simHash(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

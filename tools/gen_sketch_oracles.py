@@ -203,6 +203,78 @@ WHERE c.n_agree / 64.0 >= 0.5
 ORDER BY id_a, id_b"""
 
 
+def gen_dedup_lsh_verified():
+    """LSH-then-verify twin of Dedup.lshVerified (numHashes=64,
+    bands=16, estThreshold=0.5, threshold=0.7): candidate pairs exactly
+    as gen_dedup_minhash_lsh, then the EXACT distinct-token Jaccard
+    (norm_text split on single space, empty tokens kept — the twin of
+    Spark's array_distinct(split(norm_text(text), ' '))) on the
+    survivors. floor(x*1e4+0.5)/1e4 rounding both engines: est = k/64
+    hits exact halfway doubles where round() half-even diverges."""
+    seeds_rows = ", ".join(f"({i}, {s}::HUGEINT)"
+                           for i, s in enumerate(minhash_seeds()))
+    t = toks("text")
+    shingles = let(t, lambda tk:
+        f"CASE WHEN len({tk}) = 0 THEN []"
+        f" WHEN len({tk}) < 3 THEN [array_to_string({tk}, ' ')]"
+        f" ELSE [array_to_string({tk}[i+1:i+3], ' ') for i in range(len({tk})-2)] END")
+    split_norm = ("list_distinct(string_split(regexp_replace(lower(trim(text)),"
+                  " '\\s+', ' ', 'g'), ' '))")
+    return f"""WITH sh AS (
+  SELECT doc_id, {shingles} AS shingles FROM documents
+),
+base AS (
+  SELECT doc_id, {hash64('sgl')} AS b
+  FROM (SELECT doc_id, unnest(shingles) AS sgl FROM sh)
+),
+seeds AS (SELECT * FROM (VALUES {seeds_rows}) v(i, sd)),
+mixed AS (
+  SELECT doc_id, i,
+    CASE WHEN h >= {S63} THEN h - {M64} ELSE h END AS hs
+  FROM {mix64_staged(['doc_id', 'i'], 'xor(b, sd)', '(SELECT * FROM base, seeds)')}
+),
+mh AS MATERIALIZED (SELECT doc_id, i, min(hs) AS s FROM mixed GROUP BY doc_id, i),
+pos AS MATERIALIZED (
+  SELECT doc_id, i, s FROM mh
+  UNION ALL
+  SELECT d.doc_id, seeds.i, {LMAX} AS s FROM documents d, seeds
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM mh)
+),
+agree AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i
+  FROM pos a JOIN pos b ON a.i = b.i AND a.s = b.s AND a.doc_id < b.doc_id
+),
+cnt AS (SELECT id_a, id_b, count(*) AS n_agree FROM agree GROUP BY id_a, id_b),
+band AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT id_a, id_b FROM agree GROUP BY id_a, id_b, i // 4
+    HAVING count(*) = 4)
+),
+cand AS (
+  SELECT c.id_a, c.id_b, c.n_agree / 64.0 AS est
+  FROM cnt c JOIN band USING (id_a, id_b)
+  WHERE c.n_agree / 64.0 >= 0.5
+),
+tk AS MATERIALIZED (
+  SELECT doc_id, len({split_norm}) AS ntok, unnest({split_norm}) AS token
+  FROM documents
+),
+ver AS (
+  SELECT cand.id_a, cand.id_b, cand.est,
+         any_value(a.ntok) AS ntok_a, any_value(b.ntok) AS ntok_b,
+         count(*) AS inter
+  FROM cand JOIN tk a ON a.doc_id = cand.id_a
+            JOIN tk b ON b.doc_id = cand.id_b AND b.token = a.token
+  GROUP BY cand.id_a, cand.id_b, cand.est
+)
+SELECT id_a, id_b,
+  floor(est * 1e4 + 0.5) / 1e4 AS est_jaccard,
+  floor((CAST(inter AS DOUBLE) / (ntok_a + ntok_b - inter)) * 1e4 + 0.5) / 1e4 AS jaccard
+FROM ver
+WHERE CAST(inter AS DOUBLE) / (ntok_a + ntok_b - inter) >= 0.7
+ORDER BY id_a, id_b"""
+
+
 def gen_ann_lsh_topk():
     """Twin of Ann.lshTopK (k=3, nBits=12, tables=4, dim=64) over the
     embeddings table: deterministic hyperplanes from mix64, sign-bit
@@ -529,6 +601,7 @@ FROM frames ORDER BY media_id, frame_idx"""
 ORACLES = {
     "dedup_simhash": gen_dedup_simhash,
     "dedup_minhash_lsh": gen_dedup_minhash_lsh,
+    "dedup_lsh_verified": gen_dedup_lsh_verified,
     "ann_lsh_topk": gen_ann_lsh_topk,
     "ann_ivf_topk": gen_ann_ivf_topk,
     "mm_decode": gen_mm_decode,
