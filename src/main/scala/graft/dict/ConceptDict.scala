@@ -8,9 +8,10 @@ import graft.model.{Concept, DictEdge, Synonym}
 import graft.functions.Hashing
 
 /** The concept dictionary — Spark-side stand-in for the reference's
-  * Neo4j graph (labels NCIT/PV/SYN/CDE/VDM/DEC/OC,
-  * reference README.md:116-124). One typed Dataset per vertex label
-  * plus (src,dst) edge tables per relationship (SURVEY.md §1.3).
+  * Neo4j graph (labels NCIT/PV/SYN/CDE/VDM/DEC/OC per reference
+  * README.md:116-124, plus PR from reference schema.png). One typed
+  * Dataset per vertex label plus (src,dst) edge tables per
+  * relationship (SURVEY.md §1.3).
   *
   * The dictionary is small relative to the transcript corpus
   * (~10^5 concepts vs 10^12 turns), so every use is broadcast-side:

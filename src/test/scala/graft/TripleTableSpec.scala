@@ -111,6 +111,39 @@ class TripleTableSpec extends SparkTestBase {
     assert(terms == Set("carcinoma of the lung", "lung cancer", "pulmonary carcinoma"))
   }
 
+  test("GraphTables client runs every reference traversal from disk alone") {
+    val dict = Fixtures.dict(spark)
+    val canonical = graft.canon.Canonicalizer.canonicalMap(spark, dict)
+    val verts = graft.triples.Triples.vertices(spark, dict, canonical)
+    val edges = graft.triples.Triples.baseEdges(spark, dict)
+      .unionByName(graft.triples.Triples.hasSynonym(spark, dict))
+      .unionByName(graft.triples.Triples.similarEdges(spark, dict, k = 2)
+        .drop("score"))
+      .as[graft.model.Triple]
+    val dir = Files.createTempDirectory("graft-graph-client").toString
+    graft.triples.Triples.writeGraph(verts, edges, dir)
+    val g = graft.triples.GraphTables(spark, dir)
+    // J1 synonym lookup
+    assert(g.synonymsOf("C4878").select($"synonym").as[String].collect().toSet ==
+      Set("carcinoma of the lung", "lung cancer", "pulmonary carcinoma"))
+    // J3 flatten from base edges == the dict-derived MAPS_TO (the
+    // OC/PR HAS_CONCEPT grounding rows must NOT leak in)
+    val expected = graft.triples.Triples.mapsTo(spark, dict)
+      .select($"subj", $"obj").as[(String, String)].collect().toSet
+    assert(g.mapsTo.as[(String, String)].collect().toSet == expected)
+    // CDE concept context equals the fixture chain
+    assert(g.conceptContext.as[(String, String, String, String)]
+      .collect().toSet == Fixtures.decOc.toSet)
+    // SIMILAR fan-out at k=2
+    assert(g.similarTo("C4878").count() == 2)
+    // canonical map: merged pair agrees with the writer
+    val canon = g.canonicalOf.as[(String, String)].collect().toMap
+    assert(canon("C3117") == "C105586")
+    // label/pred scans prune partitions
+    val plan = g.vertices("NCIT").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(label"), plan)
+  }
+
   test("SIMILAR self-relation: top-k cosine neighbors, no self-loops") {
     val dict = Fixtures.dict(spark)
     val rows = graft.triples.Triples.similarEdges(spark, dict, k = 2)
