@@ -133,6 +133,16 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("lsh-then-verify: bucket joins + partial agg, no cartesian anywhere") {
+    val df = SparkEntry.queries("dedup_lsh_verified")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "map-side combine expected\n" + p.take(3000))
+  }
+
   test("SIMILAR edge derivation is a broadcast scan: no join operator at all") {
     val df = graft.triples.Triples.similarEdges(spark, Fixtures.dict(spark), k = 2)
     df.collect()

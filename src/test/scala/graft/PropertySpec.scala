@@ -87,6 +87,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: lsh-then-verify reports exact jaccards, subset of exact op (3 corpora)") {
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val doc = Gen.listOfN(8, word).map(_.mkString(" "))
+    samples(Gen.listOfN(12, doc), 3).foreach { docsList =>
+      val df = docsList.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.Dedup.lshVerified(df, "doc_id", "text",
+        estThreshold = 0.2, threshold = 0.5)
+        .select("id_a", "id_b", "jaccard").collect()
+      // every reported jaccard equals a driver-side set recompute
+      val tokSets = docsList.map(t => Hashing.norm(t).split(" ").distinct.toSet)
+      got.foreach { r =>
+        val (a, b) = (r.getLong(0).toInt, r.getLong(1).toInt)
+        val j = tokSets(a).intersect(tokSets(b)).size.toDouble /
+          tokSets(a).union(tokSets(b)).size
+        assert(math.abs(r.getDouble(2) - j) < 1e-12 && j >= 0.5)
+      }
+      // and the pair set never exceeds the exact operator's
+      val exact = graft.ops.Dedup.ngramJaccard(df, "doc_id", "text", threshold = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exact))
+    }
+  }
+
   test("property: pipeline links identical across repartitionings") {
     import spark.implicits._
     val dict = graft.fixtures.Fixtures.dict(spark)
