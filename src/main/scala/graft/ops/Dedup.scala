@@ -67,19 +67,34 @@ object Dedup {
                   numHashes: Int = 64, bands: Int = 16,
                   estThreshold: Double = 0.5, threshold: Double = 0.7): DataFrame = {
     val cand = minHashLsh(docs, idCol, textCol, numHashes, bands, estThreshold)
-    val toks = docs.select(col(idCol).as("id"),
+    verifyJaccard(cand, explodedTokens(docs, idCol, textCol), threshold,
+        carryCols = Seq("est_jaccard"))
+      .select("id_a", "id_b", "est_jaccard", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** (id, ntok, token): distinct normalized tokens exploded per doc —
+    * the single definition of "token set" every exact-Jaccard verify
+    * (and its DuckDB twin) agrees on. */
+  private def explodedTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
       array_distinct(split(Functions.norm_text(col(textCol)), " ")).as("toks"))
       .select(col("id"), size(col("toks")).as("ntok"), explode(col("toks")).as("token"))
+
+  /** Exact token-set Jaccard on candidate pairs only: join the token
+    * table on both sides, count shared tokens (row-based codegen hash
+    * agg — no array payloads in the shuffle), keep >= threshold.
+    * `carryCols` ride from `cand` through the groupBy. */
+  private def verifyJaccard(cand: DataFrame, toks: DataFrame, threshold: Double,
+                            carryCols: Seq[String] = Seq.empty): DataFrame = {
     val a = toks.select(col("id").as("id_a"), col("ntok").as("ntok_a"), col("token"))
     val b = toks.select(col("id").as("id_b"), col("ntok").as("ntok_b"), col("token"))
     cand.join(a, "id_a").join(b, Seq("id_b", "token"))
-      .groupBy("id_a", "id_b", "est_jaccard", "ntok_a", "ntok_b")
+      .groupBy((Seq("id_a", "id_b", "ntok_a", "ntok_b") ++ carryCols).map(col): _*)
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("ntok_a") + col("ntok_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard", "jaccard")
-      .orderBy("id_a", "id_b")
   }
 
   /** Split a signature array into `bands` arrays of `rows` elements,
@@ -135,20 +150,9 @@ object Dedup {
     * then verified with the exact Jaccard over full token sets. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      array_distinct(split(Functions.norm_text(col(textCol)), " ")).as("toks"))
-      .select(col("id"), size(col("toks")).as("ntok"), explode(col("toks")).as("token"))
-    val cand = prefixCandidates(toks, threshold)
-    // exact verify, row-based (codegen hash agg; no array payloads in
-    // the shuffle): count shared tokens of each candidate pair
-    val a = toks.select(col("id").as("id_a"), col("token"))
-    val b = toks.select(col("id").as("id_b"), col("token"))
-    cand.join(a, "id_a").join(b, Seq("id_b", "token"))
-      .groupBy("id_a", "id_b", "ntok_a", "ntok_b")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("ntok_a") + col("ntok_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
+    val toks = explodedTokens(docs, idCol, textCol)
+    val cand = prefixCandidates(toks, threshold).select("id_a", "id_b")
+    verifyJaccard(cand, toks, threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }

@@ -139,11 +139,11 @@ object Multimodal {
     }
   }
 
-  /** Header-parsing decoder. BMP and WAV are decoded from their
-    * bytes; anything else (the video stub) falls back to declared
-    * metadata. Malformed magic-carrying payloads return valid=false
-    * with zeroed dims — a 100 TB pipeline quarantines bad rows, it
-    * does not throw per row. */
+  /** Header-parsing decoder. BMP, WAV and AVI are decoded from their
+    * bytes; unknown containers fall back to declared metadata.
+    * Malformed magic-carrying payloads return valid=false with zeroed
+    * dims — a 100 TB pipeline quarantines bad rows, it does not throw
+    * per row. */
   object Codec {
     private def le32(b: Array[Byte], off: Int): Int =
       (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
@@ -217,12 +217,12 @@ object Multimodal {
   }
 
   /** Synthesize a media table from any text DataFrame: REAL BMP bytes
-    * for image rows, REAL WAV bytes for audio rows (deterministic
-    * dims/channels from engine-portable hash64 so the DuckDB oracle
-    * rebuilds the exact byte stream), opaque text bytes for the video
-    * stub. The binary column IS real binary — this is the schema/
-    * partitioning path a 100 TB media corpus would use, partitioned so
-    * one partition's payloads fit executor memory. */
+    * for image rows, REAL WAV bytes for audio rows, REAL minimal AVI
+    * bytes for video rows (deterministic dims/channels/frame counts
+    * from engine-portable hash64 so the DuckDB oracle rebuilds the
+    * exact byte streams). The binary column IS real binary — this is
+    * the schema/partitioning path a 100 TB media corpus would use,
+    * partitioned so one partition's payloads fit executor memory. */
   def mediaFromText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -267,33 +267,35 @@ object Multimodal {
   /** Deterministic frame sampling for video rows. AVI payloads are
     * REAL: the movi chunk list is walked, each '00db' frame's actual
     * bytes are checksummed, and offset_ms comes from the stream's
-    * scale/rate clock. Non-AVI video payloads (opaque containers)
-    * fall back to the byte-slice stub: every `everyMs` ms up to a
-    * duration derived from payload size. */
+    * scale/rate clock (`everyMs` does not apply to a real container's
+    * own timeline; `maxFrames` still caps the output). Non-AVI video
+    * payloads (opaque containers) fall back to the byte-slice stub:
+    * every `everyMs` ms up to a duration derived from payload size. */
   def frameSample(spark: SparkSession, media: DataFrame, everyMs: Int = 1000,
                   maxFrames: Int = 8): Dataset[FrameRow] = {
     import spark.implicits._
     media.as[MediaRow].filter(_.kind == "video").mapPartitions { rows =>
       rows.flatMap { r =>
         val p = r.payload
+        // FULL 'RIFF'+'AVI ' magic: a partial match must not reach
+        // decode's unknown-container fallback (valid=true, zero dims)
+        // and then be walked as an AVI — that would throw on header
+        // reads, in the module whose contract is quarantine-not-throw
         val (w, h, chn, _, isAvi) =
-          if (p.length >= 12 && p(0) == 'R' && p(8) == 'A' && p(9) == 'V' &&
+          if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+              p(3) == 'F' && p(8) == 'A' && p(9) == 'V' &&
               p(10) == 'I' && p(11) == ' ') Codec.decode(p, 0, 0)
           else (0, 0, 0, 0L, false)
         if (isAvi) {
-          val stride = ((chn * w + 3) / 4) * 4
-          val flen = h * stride
-          val nf = {
-            var v = 0L; var i = 0
-            while (i < 4) { v |= (p(48 + i) & 0xffL) << (8 * i); i += 1 }
-            v.toInt
-          }
-          // frame clock: scale @128 / rate @132 (le32) -> ms per frame
           def le32At(off: Int): Long = {
             var v = 0L; var i = 0
             while (i < 4) { v |= (p(off + i) & 0xffL) << (8 * i); i += 1 }
             v
           }
+          val stride = ((chn * w + 3) / 4) * 4
+          val flen = h * stride
+          val nf = math.min(le32At(48).toInt, maxFrames)
+          // frame clock: scale @128 / rate @132 (le32) -> ms per frame
           val msPerFrame = (1000L * le32At(128) / math.max(1L, le32At(132))).toInt
           (0 until nf).iterator.map { fi =>
             val off = 224 + fi * (8 + flen)
