@@ -817,6 +817,48 @@ object SparkEntry {
       v.unionByName(e).orderBy($"kind", $"a", $"b")
     }),
 
+    // incremental graph maintenance (the Neo4j-MERGE replacement,
+    // triples/GraphMerge): build the edge table in four MERGE steps —
+    // base structural+synonym edges into an empty table, the derived
+    // MAPS_TO/SAME_AS delta, an exact REPLAY of that delta (crash/
+    // restart semantics: fresh must be 0), and an overlapping delta
+    // (HAS_SYNONYM already present + SIMILAR new) — plus a vertex
+    // merge and its replay. Output: per-step fresh counts + final
+    // per-pred edge counts; the oracle recomputes every count from
+    // the fixture VALUES (set algebra: fresh = |delta \ existing|).
+    "kg_graph_merge" -> ((s, dir) => {
+      import s.implicits._
+      val dict = graft.fixtures.Fixtures.dict(s)
+      val prepared = preparedFixture(s)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_graph_merge_${ProcessHandle.current().pid()}"
+      // merge is append-based: a stale table from a prior invocation
+      // would break the fresh-count contract, so start from nothing
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      import graft.triples.{GraphMerge, Triples}
+      val base = Triples.hasSynonym(s, dict)
+        .unionByName(Triples.baseEdges(s, dict)).as[graft.model.Triple]
+      val derived = Triples.mapsTo(s, dict)
+        .unionByName(Triples.sameAs(prepared.canonical)).as[graft.model.Triple]
+      val overlap = Triples.hasSynonym(s, dict)
+        .unionByName(Triples.similarEdges(s, dict, k = 2).drop("score"))
+        .as[graft.model.Triple]
+      val verts = Triples.vertices(s, dict, prepared.canonical)
+      val steps = Seq(
+        ("merge1_base_fresh", GraphMerge.mergeEdges(s, out, base)),
+        ("merge2_derived_fresh", GraphMerge.mergeEdges(s, out, derived)),
+        ("merge3_replay_fresh", GraphMerge.mergeEdges(s, out, derived)),
+        ("merge4_overlap_fresh", GraphMerge.mergeEdges(s, out, overlap)),
+        ("vmerge1_fresh", GraphMerge.mergeVertices(s, out, verts)),
+        ("vmerge2_replay_fresh", GraphMerge.mergeVertices(s, out, verts))
+      ).toDF("kind", "n")
+      val perPred = s.read.parquet(s"$out/edges").groupBy($"pred")
+        .agg(count(lit(1)).as("n"))
+        .select(concat(lit("edges:"), $"pred").as("kind"), $"n")
+      steps.unionByName(perPred).orderBy($"kind")
+    }),
+
     // NCIT-[:SIMILAR]->NCIT self-relation (reference schema.png): each
     // concept's top-2 nearest neighbors by term-embedding cosine; full
     // double-cosine oracle (the serving-graph enrichment edge kind,
@@ -1471,6 +1513,94 @@ object SparkEntry {
          |  UNION ALL SELECT * FROM sim_edges
          |  UNION ALL SELECT * FROM has_syn)
          |ORDER BY kind, a, b""".stripMargin,
+
+    // DuckDB twin of the 4-step MERGE upsert: every fresh count is
+    // recomputed as set algebra (fresh = |delta \ table-so-far| via
+    // EXCEPT) over the same fixture VALUES, so idempotent-replay
+    // (fresh=0) and partial-overlap semantics are oracle-checked, not
+    // just asserted
+    "kg_graph_merge" ->
+      s"""WITH RECURSIVE surf(norm, code, ty) AS (SELECT * FROM (VALUES
+         |  $surfaceSqlValues) v(norm, code, ty)),
+         | ncit(code, term) AS (SELECT * FROM (VALUES $ncitVertexSqlValues) v(code, term)),
+         | pv(pv_code, pv_term, ncit_code) AS (
+         |   SELECT * FROM (VALUES $pvEdgeSqlValues) v(pv_code, pv_term, ncit_code)),
+         | cde(cde_code, cde_term, vdm_code) AS (
+         |   SELECT * FROM (VALUES $cdeVdmSqlValues) v(cde_code, cde_term, vdm_code)),
+         | vdmpv(vdm_code, pv_code) AS (SELECT * FROM (VALUES $vdmPvSqlValues) v(vdm_code, pv_code)),
+         | decoc(cde_code, dec_code, oc_code, oc_term) AS (
+         |   SELECT * FROM (VALUES $decOcSqlValues) v(cde_code, dec_code, oc_code, oc_term)),
+         | decpr(dec_code, pr_code, pr_term, ncit_code) AS (
+         |   SELECT * FROM (VALUES $decPrSqlValues) v(dec_code, pr_code, pr_term, ncit_code)),
+         | ocg(oc_code, ncit_code) AS (SELECT * FROM (VALUES $ocGroundSqlValues) v(oc_code, ncit_code)),
+         | ncitv(code, vec) AS (SELECT code, vec FROM (VALUES
+         |  $ncitVecSqlValues) v(code, term, vec)),
+         | syn(code, term) AS (SELECT * FROM (VALUES $synonymSqlValues) v(code, term)),
+         | link_surf AS (SELECT DISTINCT norm, code FROM surf WHERE ty <> 'CDE'),
+         | star AS (
+         |   SELECT m.src, s.code AS dst
+         |   FROM link_surf s
+         |   JOIN (SELECT norm, min(code) AS src FROM link_surf GROUP BY norm) m USING (norm)
+         |   WHERE s.code <> m.src),
+         | und AS (SELECT src AS a, dst AS b FROM star UNION SELECT dst, src FROM star),
+         | reach(n, m) AS (
+         |   SELECT a, b FROM und
+         |   UNION
+         |   SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a WHERE u.b <> r.n),
+         | comp AS (SELECT n AS code, least(n, min(m)) AS component FROM reach GROUP BY n),
+         | allcodes(code, label, term) AS (
+         |   SELECT code, 'NCIT', term FROM ncit
+         |   UNION ALL SELECT pv_code, 'PV', pv_term FROM pv
+         |   UNION ALL SELECT cde_code, 'CDE', cde_term FROM cde
+         |   UNION ALL SELECT DISTINCT vdm_code, 'VDM', 'value domain ' || vdm_code FROM cde
+         |   UNION ALL SELECT DISTINCT dec_code, 'DEC', 'data element concept ' || dec_code FROM decoc
+         |   UNION ALL SELECT DISTINCT oc_code, 'OC', oc_term FROM decoc
+         |   UNION ALL SELECT DISTINCT pr_code, 'PR', pr_term FROM decpr
+         |   UNION ALL SELECT DISTINCT term, 'SYN', term FROM syn),
+         | canon AS (
+         |   SELECT a.code, coalesce(c.component, a.code) AS canonical
+         |   FROM allcodes a LEFT JOIN comp c USING (code)),
+         | e_base(pred, a, b) AS (
+         |   SELECT DISTINCT 'HAS_SYNONYM', code, term FROM syn
+         |   UNION SELECT 'HAS_CONCEPT', pv_code, ncit_code FROM pv
+         |   UNION SELECT 'HAS_CONCEPT', oc_code, ncit_code FROM ocg
+         |   UNION SELECT 'HAS_CONCEPT', pr_code, ncit_code FROM decpr
+         |   UNION SELECT 'HAS_VDM', cde_code, vdm_code FROM cde
+         |   UNION SELECT 'HAS_PV', vdm_code, pv_code FROM vdmpv
+         |   UNION SELECT 'HAS_DEC', cde_code, dec_code FROM decoc
+         |   UNION SELECT 'HAS_OC', dec_code, oc_code FROM decoc
+         |   UNION SELECT 'HAS_PR', dec_code, pr_code FROM decpr),
+         | e_derived(pred, a, b) AS (
+         |   SELECT DISTINCT 'MAPS_TO', p.ncit_code, c.cde_code
+         |   FROM cde c
+         |   JOIN vdmpv vp ON c.vdm_code = vp.vdm_code
+         |   JOIN pv p ON vp.pv_code = p.pv_code
+         |   UNION SELECT 'SAME_AS', code, canonical FROM (SELECT DISTINCT code, canonical FROM canon) WHERE code <> canonical),
+         | simranked AS (
+         |   SELECT a.code AS sa, b.code AS sb,
+         |     row_number() OVER (PARTITION BY a.code
+         |       ORDER BY ${duckCosine0("a.vec", "b.vec")} DESC, b.code) AS r
+         |   FROM ncitv a JOIN ncitv b ON a.code <> b.code),
+         | e_overlap(pred, a, b) AS (
+         |   SELECT DISTINCT 'HAS_SYNONYM', code, term FROM syn
+         |   UNION SELECT 'SIMILAR', sa, sb FROM simranked WHERE r <= 2),
+         | t2(pred, a, b) AS (
+         |   SELECT DISTINCT * FROM (SELECT * FROM e_base UNION ALL SELECT * FROM e_derived)),
+         | t4(pred, a, b) AS (
+         |   SELECT DISTINCT * FROM (SELECT * FROM t2 UNION ALL SELECT * FROM e_overlap))
+         |SELECT kind, n FROM (
+         |  SELECT 'merge1_base_fresh' AS kind, count(*) AS n FROM e_base
+         |  UNION ALL SELECT 'merge2_derived_fresh', count(*) FROM
+         |    (SELECT * FROM e_derived EXCEPT SELECT * FROM e_base)
+         |  UNION ALL SELECT 'merge3_replay_fresh', count(*) FROM
+         |    (SELECT * FROM e_derived EXCEPT SELECT * FROM t2)
+         |  UNION ALL SELECT 'merge4_overlap_fresh', count(*) FROM
+         |    (SELECT * FROM e_overlap EXCEPT SELECT * FROM t2)
+         |  UNION ALL SELECT 'vmerge1_fresh', count(*) FROM
+         |    (SELECT DISTINCT label, code FROM allcodes)
+         |  UNION ALL SELECT 'vmerge2_replay_fresh', CAST(0 AS BIGINT)
+         |  UNION ALL SELECT 'edges:' || pred, count(*) FROM t4 GROUP BY pred)
+         |ORDER BY kind""".stripMargin,
 
     // DuckDB twin of Triples.similarEdges: full double-cosine all-pairs
     // with row_number top-2 per source, ties by code

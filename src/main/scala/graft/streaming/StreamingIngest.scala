@@ -66,4 +66,40 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** End-to-end streaming KG construction: each micro-batch runs the
+    * full batch pipeline (mention detect -> match ladder -> canonical
+    * LINKED_TO triples) and MERGE-upserts the result into the
+    * materialized graph via [[graft.triples.GraphMerge]].
+    *
+    * Delivery semantics: Structured Streaming replays an uncommitted
+    * micro-batch after a crash (at-least-once into foreachBatch);
+    * composed with the idempotent anti-join merge the EFFECT is
+    * exactly-once — a replayed batch's triples are already present
+    * and merge as fresh=0 (asserted in StreamingSpec by re-running a
+    * processed input against a fresh checkpoint). The static
+    * dictionary-derived triples (MAPS_TO, HAS_x, SAME_AS) are merged
+    * once up front — also idempotent, so a restarted job re-merging
+    * them is a no-op, not a duplication. */
+  def tripleSink(spark: SparkSession, inputDir: String, dict: ConceptDict,
+                 graphDir: String, checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    val prepared = graft.dict.PreparedDict.prepare(spark, dict)
+    graft.triples.GraphMerge.mergeEdges(spark, graphDir,
+      prepared.dictTriples.as[graft.model.Triple])
+    readTurns(spark, inputDir).as[Turn].writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Turn], _: Long) =>
+        val mentions = MentionDetect.detect(batch, prepared.automaton)
+        val links = MatchLadder.link(spark, mentions, prepared,
+          MatchLadder.DefaultFuzzyK, MatchLadder.DefaultSemanticK,
+          MatchLadder.DefaultFuzzyMin, MatchLadder.DefaultSemanticMin)
+        graft.triples.GraphMerge.mergeEdges(spark, graphDir,
+          graft.triples.Triples.linkedTo(links, prepared.canonical)
+            .as[graft.model.Triple])
+        (): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -31,6 +31,44 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming triple sink is effectively exactly-once under full replay") {
+    val dict = Fixtures.dict(spark)
+    val inDir = Files.createTempDirectory("graft-triple-in").toString
+    val graphDir = Files.createTempDirectory("graft-triple-graph").toString + "/graph"
+    Fixtures.transcripts(spark, 12, 6).write.mode("overwrite").parquet(inDir)
+
+    val q1 = StreamingIngest.tripleSink(spark, inDir, dict, graphDir,
+      Files.createTempDirectory("graft-triple-ck1").toString)
+    q1.awaitTermination(120000)
+    assert(q1.exception.isEmpty)
+    val edges = spark.read.parquet(s"$graphDir/edges")
+    val afterFirst = edges.count()
+    assert(afterFirst > 0)
+    assert(edges.distinct().count() == afterFirst, "no duplicate edges")
+
+    // streamed LINKED_TO edges == the batch pipeline's, exactly
+    val prepared = graft.dict.PreparedDict.prepare(spark, dict)
+    val batchLinked = {
+      val turns = spark.read.parquet(inDir).as[graft.model.Turn]
+      val res = Pipeline.run(spark, turns, prepared)
+      graft.triples.Triples.linkedTo(res.links, prepared.canonical)
+        .distinct().orderBy("subj", "obj").collect()
+    }
+    val streamedLinked = edges.where($"pred" === "LINKED_TO")
+      .select("subj", "pred", "obj").orderBy("subj", "obj").collect()
+    assert(streamedLinked.sameElements(batchLinked))
+
+    // replay EVERYTHING: a fresh checkpoint reprocesses the whole
+    // input (the worst-case at-least-once redelivery); the idempotent
+    // MERGE sink must leave the graph bit-identical
+    val q2 = StreamingIngest.tripleSink(spark, inDir, dict, graphDir,
+      Files.createTempDirectory("graft-triple-ck2").toString)
+    q2.awaitTermination(120000)
+    assert(q2.exception.isEmpty)
+    assert(spark.read.parquet(s"$graphDir/edges").count() == afterFirst,
+      "full replay must not add a single edge")
+  }
+
   test("windowed turn-rate stream aggregates with watermark") {
     val inDir = Files.createTempDirectory("graft-stream-rate").toString
     Fixtures.transcripts(spark, 10, 6).write.mode("overwrite").parquet(inDir)
