@@ -852,11 +852,23 @@ object SparkEntry {
         ("merge4_overlap_fresh", GraphMerge.mergeEdges(s, out, overlap)),
         ("vmerge1_fresh", GraphMerge.mergeVertices(s, out, verts)),
         ("vmerge2_replay_fresh", GraphMerge.mergeVertices(s, out, verts))
-      ).toDF("kind", "n")
+      )
+      // dictionary-version upgrade (ON MATCH SET): C2991 exists ->
+      // updated in place; Z9999 is new -> inserted
+      val refreshDelta = Seq(
+        ("C2991", "NCIT", "disease or disorder v2", Some("refreshed"), "C2991"),
+        ("Z9999", "NCIT", "novel concept", None: Option[String], "Z9999"))
+        .toDF("code", "label", "term", "definition", "canonical")
+      val (nUpd, nIns) = GraphMerge.refreshVertices(s, out, refreshDelta)
+      val all = steps ++ Seq(("vrefresh_updated", nUpd), ("vrefresh_inserted", nIns))
       val perPred = s.read.parquet(s"$out/edges").groupBy($"pred")
         .agg(count(lit(1)).as("n"))
         .select(concat(lit("edges:"), $"pred").as("kind"), $"n")
-      steps.unionByName(perPred).orderBy($"kind")
+      val perLabel = s.read.parquet(s"$out/vertices").groupBy($"label")
+        .agg(count(lit(1)).as("n"))
+        .select(concat(lit("vertices:"), $"label").as("kind"), $"n")
+      all.toDF("kind", "n").unionByName(perPred).unionByName(perLabel)
+        .orderBy($"kind")
     }),
 
     // NCIT-[:SIMILAR]->NCIT self-relation (reference schema.png): each
@@ -1587,7 +1599,13 @@ object SparkEntry {
          | t2(pred, a, b) AS (
          |   SELECT DISTINCT * FROM (SELECT * FROM e_base UNION ALL SELECT * FROM e_derived)),
          | t4(pred, a, b) AS (
-         |   SELECT DISTINCT * FROM (SELECT * FROM t2 UNION ALL SELECT * FROM e_overlap))
+         |   SELECT DISTINCT * FROM (SELECT * FROM t2 UNION ALL SELECT * FROM e_overlap)),
+         | rdelta(code, label) AS (SELECT * FROM (VALUES
+         |   ('C2991', 'NCIT'), ('Z9999', 'NCIT')) v(code, label)),
+         | vfinal(label, code) AS (
+         |   SELECT DISTINCT label, code FROM (
+         |     SELECT label, code FROM allcodes
+         |     UNION ALL SELECT label, code FROM rdelta))
          |SELECT kind, n FROM (
          |  SELECT 'merge1_base_fresh' AS kind, count(*) AS n FROM e_base
          |  UNION ALL SELECT 'merge2_derived_fresh', count(*) FROM
@@ -1599,7 +1617,14 @@ object SparkEntry {
          |  UNION ALL SELECT 'vmerge1_fresh', count(*) FROM
          |    (SELECT DISTINCT label, code FROM allcodes)
          |  UNION ALL SELECT 'vmerge2_replay_fresh', CAST(0 AS BIGINT)
-         |  UNION ALL SELECT 'edges:' || pred, count(*) FROM t4 GROUP BY pred)
+         |  UNION ALL SELECT 'vrefresh_updated', count(*) FROM rdelta d
+         |    WHERE EXISTS (SELECT 1 FROM allcodes a
+         |                  WHERE a.label = d.label AND a.code = d.code)
+         |  UNION ALL SELECT 'vrefresh_inserted', count(*) FROM rdelta d
+         |    WHERE NOT EXISTS (SELECT 1 FROM allcodes a
+         |                      WHERE a.label = d.label AND a.code = d.code)
+         |  UNION ALL SELECT 'edges:' || pred, count(*) FROM t4 GROUP BY pred
+         |  UNION ALL SELECT 'vertices:' || label, count(*) FROM vfinal GROUP BY label)
          |ORDER BY kind""".stripMargin,
 
     // DuckDB twin of Triples.similarEdges: full double-cosine all-pairs

@@ -103,4 +103,89 @@ object GraphMerge {
       n
     } finally { fresh.unpersist(): Unit }
   }
+
+  /** The `ON MATCH SET` half of Neo4j's MERGE — property refresh for
+    * existing vertices (the dictionary-version-upgrade path: a new
+    * NCIT release changes terms/definitions in place). Delta rows WIN
+    * on key collision (label, code); unmatched existing rows are
+    * preserved; unmatched delta rows are inserted. Returns
+    * (updated, inserted).
+    *
+    * Scale shape: rewrites ONLY the label partitions present in the
+    * delta (dynamic partition overwrite — a LINKED_TO-sized vertex
+    * table is never touched by an NCIT refresh); the merged result is
+    * staged to a temp path first because Spark (correctly) refuses a
+    * plan that overwrites its own input, then lands with
+    * partitionOverwriteMode=dynamic so untouched label partitions
+    * keep their files byte-identical (asserted in GraphMergeSpec).
+    * On Iceberg this whole dance is one MERGE INTO snapshot commit. */
+  def refreshVertices(spark: SparkSession, dir: String, delta: DataFrame): (Long, Long) = {
+    val path = s"$dir/vertices"
+    val dedup = delta.dropDuplicates("label", "code")
+    if (!exists(spark, path)) {
+      dedup.write.mode("overwrite").partitionBy("label").parquet(path)
+      return (0L, dedup.count())
+    }
+    val labels = dedup.select("label").distinct().collect().map(_.getString(0))
+    val existing = spark.read.parquet(path).where(col("label").isin(labels.toSeq: _*))
+    val updated = existing.join(dedup, Seq("label", "code"), "left_semi").count()
+    val inserted = dedup.count() - updated
+    val keep = existing.join(dedup.select("label", "code"), Seq("label", "code"), "left_anti")
+    val merged = dedup.unionByName(keep.select(dedup.columns.map(col).toSeq: _*))
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.refresh_tmp")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    spark.read.parquet(tmp.toString)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("label").parquet(path)
+    fs.delete(tmp, true)
+    (updated, inserted)
+  }
+
+  /** Maintenance compaction: every merge job appends its own file set,
+    * so a partition that has absorbed k merges carries O(k·tasks)
+    * small files — reads stay partition-pruned but per-file open cost
+    * grows without bound on a long-lived graph. `compactEdges`
+    * rewrites each named pred partition into `filesPerPartition`
+    * files (the Iceberg `rewrite_data_files` analog; list the preds
+    * you merge into often — LINKED_TO absorbs every transcript batch,
+    * the dictionary preds almost never change).
+    *
+    * Swap protocol per partition: write compacted files to a temp
+    * dir, move the live dir aside, move the temp dir in, drop the old
+    * files — readers see either the old or the new file set, and a
+    * crash mid-swap leaves the old data recoverable in `.compact_old`
+    * (never silently lost). On object storage without atomic rename
+    * this is exactly why production uses an Iceberg snapshot commit;
+    * the algebra is identical.
+    *
+    * Returns (filesBefore, filesAfter) per pred. */
+  def compactEdges(spark: SparkSession, dir: String, preds: Seq[String],
+                   filesPerPartition: Int = 1): Map[String, (Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: Path): Int =
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    preds.map { pred =>
+      val live = new Path(s"$dir/edges/pred=$pred")
+      val before = parquetFiles(live)
+      if (before <= filesPerPartition) pred -> (before, before)
+      else {
+        val tmp = new Path(s"$dir/.compact_tmp/pred=$pred")
+        val old = new Path(s"$dir/.compact_old/pred=$pred")
+        fs.delete(tmp, true); fs.delete(old, true)
+        fs.mkdirs(tmp.getParent); fs.mkdirs(old.getParent)
+        // partition-dir read: pred lives in the path, files carry (subj, obj)
+        spark.read.parquet(live.toString)
+          .repartition(filesPerPartition)
+          .write.mode("overwrite").parquet(tmp.toString)
+        require(fs.rename(live, old), s"compact: could not move $live aside")
+        require(fs.rename(tmp, live), s"compact: could not move $tmp into place")
+        fs.delete(old, true)
+        pred -> (before, parquetFiles(live))
+      }
+    }.toMap
+  }
 }

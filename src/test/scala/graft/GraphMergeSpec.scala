@@ -71,6 +71,58 @@ class GraphMergeSpec extends SparkTestBase {
     assert(rows("C2") == "term two")
   }
 
+  test("refreshVertices: delta wins on key, inserts the rest, rewrites only its labels") {
+    val dir = freshDir()
+    val v1 = Seq(
+      ("C1", "NCIT", "term one", null: String, "C1"),
+      ("C2", "NCIT", "term two", null: String, "C2"),
+      ("P1", "PV", "pv one", null: String, "C1"))
+      .toDF("code", "label", "term", "definition", "canonical")
+    GraphMerge.mergeVertices(spark, dir, v1)
+    def pvFiles(): Set[(String, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/vertices/label=PV")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isFile).map(s =>
+        (s.getPath.getName, s.getModificationTime)).toSet
+    }
+    val pvBefore = pvFiles()
+    // refresh: C1 renamed (ON MATCH SET), C3 new (ON CREATE)
+    val delta = Seq(
+      ("C1", "NCIT", "term one v2", "now defined", "C1"),
+      ("C3", "NCIT", "term three", null: String, "C3"))
+      .toDF("code", "label", "term", "definition", "canonical")
+    assert(GraphMerge.refreshVertices(spark, dir, delta) == ((1L, 1L)))
+    val rows = spark.read.parquet(s"$dir/vertices")
+      .select("code", "term").as[(String, String)].collect().toMap
+    assert(rows == Map("C1" -> "term one v2", "C2" -> "term two",
+      "C3" -> "term three", "P1" -> "pv one"))
+    // dynamic partition overwrite: the PV partition (absent from the
+    // delta) keeps its files byte-identical — not rewritten
+    assert(pvFiles() == pvBefore, "untouched label partition must not be rewritten")
+  }
+
+  test("compactEdges collapses merge-accumulated small files, content bit-identical") {
+    val dir = freshDir()
+    // 5 successive disjoint merges -> at least 5 file sets in LINKED_TO
+    (1 to 5).foreach { i =>
+      val d = Seq(Triple(s"m$i", "LINKED_TO", s"C$i")).toDS()
+      assert(GraphMerge.mergeEdges(spark, dir, d) == 1L)
+    }
+    val before = edges(dir).orderBy("subj", "pred", "obj").collect()
+    val report = GraphMerge.compactEdges(spark, dir, Seq("LINKED_TO"))
+    val (nBefore, nAfter) = report("LINKED_TO")
+    assert(nBefore >= 5, s"expected >=5 pre-compaction files, saw $nBefore")
+    assert(nAfter == 1)
+    val after = edges(dir).orderBy("subj", "pred", "obj").collect()
+    assert(after.sameElements(before), "compaction must not change content")
+    // compacting an already-compact partition is a no-op
+    assert(GraphMerge.compactEdges(spark, dir, Seq("LINKED_TO"))("LINKED_TO") == ((1, 1)))
+    // and merging after compaction still works
+    assert(GraphMerge.mergeEdges(spark, dir,
+      Seq(Triple("m9", "LINKED_TO", "C9")).toDS()) == 1L)
+    assert(edges(dir).count() == 6)
+  }
+
   test("merged graph serves GraphTables traversals identically to a full rewrite") {
     val dir = freshDir()
     val dict = Fixtures.dict(spark)
