@@ -1,10 +1,22 @@
 #!/usr/bin/env bash
-# Two-parallelism scaling measurement, one fresh JVM per level
-# (shared-JVM runs bias whichever level goes second — see Scaling.scala).
-# Usage: tools/scaling.sh [N] [CONVS]
+# Two-parallelism scaling measurement, one fresh JVM per run.
+#
+# Methodology (evolved over rounds 2-3 on this noisy shared host):
+#  - fresh JVM per level: shared-JVM runs bias whichever level goes
+#    second (codegen-class accumulation, heap aging) — Scaling.scala;
+#  - TWO JVMs per level, interleaved lo/hi/lo/hi, best-per-level:
+#    measured twice this round, the FIRST JVM launched right after a
+#    heavy JVM exits runs 1.8-2.3x slow at 0.0% steal (kernel still
+#    reclaiming the predecessor's pre-touched 64 GiB heap); a single
+#    pair therefore produces garbage ratios in either direction
+#    (0.58 and 1.44 observed for the SAME code/corpus same hour);
+#  - settle pause between runs gives reclaim a chance to finish;
+#  - every attempt is emitted so a noisy ratio is self-explaining.
+# Usage: tools/scaling.sh [N] [CONVS] [SETTLE_SEC]
 set -euo pipefail
 N="${1:-8}"
 CONVS="${2:-160000}"
+SETTLE="${3:-20}"
 HI=$((N * 4))
 
 run_level() {
@@ -13,11 +25,15 @@ run_level() {
     | grep -oE '\{"cores".*\}' | tail -1
 }
 
-LO_JSON=$(run_level "$N")
-HI_JSON=$(run_level "$HI")
-python3 - "$LO_JSON" "$HI_JSON" <<'EOF'
+LO1=$(run_level "$N");  sleep "$SETTLE"
+HI1=$(run_level "$HI"); sleep "$SETTLE"
+LO2=$(run_level "$N");  sleep "$SETTLE"
+HI2=$(run_level "$HI")
+python3 - "$LO1" "$HI1" "$LO2" "$HI2" <<'EOF'
 import json, sys
-lo, hi = json.loads(sys.argv[1]), json.loads(sys.argv[2])
+pts = [json.loads(a) for a in sys.argv[1:]]
+lo = max((p for p in pts if p["cores"] == pts[0]["cores"]), key=lambda p: p["turns_per_sec"])
+hi = max((p for p in pts if p["cores"] != pts[0]["cores"]), key=lambda p: p["turns_per_sec"])
 eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (hi["cores"] / lo["cores"])
 print(json.dumps({
     "metric": "scaling_efficiency", "value": round(eff, 3), "unit": "ratio",
@@ -25,5 +41,6 @@ print(json.dumps({
     "sec_lo": lo["sec"], "sec_hi": hi["sec"],
     "turns_per_sec_lo": lo["turns_per_sec"], "turns_per_sec_hi": hi["turns_per_sec"],
     "host_steal_pct_lo": lo.get("host_steal_pct"),
-    "host_steal_pct_hi": hi.get("host_steal_pct")}))
+    "host_steal_pct_hi": hi.get("host_steal_pct"),
+    "attempts": pts}))
 EOF
