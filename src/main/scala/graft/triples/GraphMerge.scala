@@ -54,18 +54,26 @@ object GraphMerge {
     * `dir/edges`; returns the number of genuinely-new edges appended.
     * Duplicate rows WITHIN the delta collapse to one (MERGE touches
     * each key once). */
+  /** The not-yet-present rows of `delta` vs the live edge table —
+    * the plan `mergeEdges` appends. Exposed for plan assertions: the
+    * existing side must scan ONLY the pred partitions the delta
+    * names (PartitionFilters, asserted in PlanSpec). */
+  private[graft] def freshEdges(spark: SparkSession, path: String,
+                                delta: Dataset[Triple]): DataFrame = {
+    val dedup = delta.toDF().select("subj", "pred", "obj").distinct()
+    if (!exists(spark, path)) dedup
+    else {
+      // pruning literal: the delta's pred vocabulary (collect is
+      // bounded by the fixed predicate set, never corpus-sized)
+      val preds = dedup.select("pred").distinct().collect().map(_.getString(0))
+      val existing = spark.read.parquet(path).where(col("pred").isin(preds.toSeq: _*))
+      dedup.join(existing, Seq("subj", "pred", "obj"), "left_anti")
+    }
+  }
+
   def mergeEdges(spark: SparkSession, dir: String, delta: Dataset[Triple]): Long = {
     val path = s"$dir/edges"
-    val dedup = delta.toDF().select("subj", "pred", "obj").distinct()
-    val fresh =
-      if (!exists(spark, path)) dedup
-      else {
-        // pruning literal: the delta's pred vocabulary (collect is
-        // bounded by the fixed predicate set, never corpus-sized)
-        val preds = dedup.select("pred").distinct().collect().map(_.getString(0))
-        val existing = spark.read.parquet(path).where(col("pred").isin(preds.toSeq: _*))
-        dedup.join(existing, Seq("subj", "pred", "obj"), "left_anti")
-      }
+    val fresh = freshEdges(spark, path, delta)
     // persist: the count and the write must see the same rows, and
     // the anti-join must not recompute against a table the write is
     // concurrently growing

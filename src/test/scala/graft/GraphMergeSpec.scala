@@ -123,6 +123,24 @@ class GraphMergeSpec extends SparkTestBase {
     assert(edges(dir).count() == 6)
   }
 
+  test("merge anti-join prunes the existing side to the delta's pred partitions") {
+    val dir = freshDir()
+    val dict = Fixtures.dict(spark)
+    GraphMerge.mergeEdges(spark, dir,
+      Triples.hasSynonym(spark, dict).unionByName(Triples.baseEdges(spark, dict)).as[Triple])
+    GraphMerge.mergeEdges(spark, dir,
+      Seq(Triple("m1", "LINKED_TO", "C1")).toDS())
+    // a LINKED_TO batch merge must read ONLY the LINKED_TO partition
+    // of the (now 8-pred) table — at corpus scale that partition is
+    // the big one, but HAS_*/MAPS_TO must never even be opened
+    val p = GraphMerge.freshEdges(spark, s"$dir/edges",
+      Seq(Triple("m2", "LINKED_TO", "C2")).toDS())
+      .queryExecution.executedPlan.toString
+    val partFilter = "PartitionFilters: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(partFilter.contains("pred") && partFilter.contains("LINKED_TO"), p)
+    assert(!partFilter.contains("HAS_SYNONYM"), p)
+  }
+
   test("merged graph serves GraphTables traversals identically to a full rewrite") {
     val dir = freshDir()
     val dict = Fixtures.dict(spark)

@@ -122,4 +122,36 @@ class PropertySpec extends AnyFunSuite {
       .links.orderBy("conv_id", "turn_idx", "begin").collect()
     assert(r1.sameElements(r2))
   }
+
+  test("property: any batching of an edge set MERGEs to its distinct union (4 sampled)") {
+    import spark.implicits._
+    import graft.model.Triple
+    // random multisets of triples over a small key space (collisions
+    // within AND across batches guaranteed), random batch splits —
+    // invariants: final table = distinct union, independent of the
+    // batching; sum of per-merge fresh counts = distinct total;
+    // re-merging the whole set afterwards adds 0
+    val tripleGen = for {
+      s <- Gen.choose(0, 5); p <- Gen.oneOf("LINKED_TO", "MAPS_TO", "SAME_AS")
+      o <- Gen.choose(0, 5)
+    } yield Triple(s"s$s", p, s"o$o")
+    val caseGen = for {
+      ts <- Gen.listOfN(40, tripleGen)
+      nBatches <- Gen.choose(1, 5)
+      cuts <- Gen.listOfN(ts.length, Gen.choose(0, nBatches - 1))
+    } yield ts.zip(cuts)
+    samples(caseGen, 4).foreach { tagged =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-mergeprop").toString + "/g"
+      val batches = tagged.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.map(_._1))
+      val freshSum = batches.map(b =>
+        graft.triples.GraphMerge.mergeEdges(spark, dir, b.toDS())).sum
+      val expect = tagged.map(_._1).distinct
+      val got = spark.read.parquet(s"$dir/edges")
+        .select("subj", "pred", "obj").as[Triple].collect()
+      assert(got.length == expect.length && got.toSet == expect.toSet)
+      assert(freshSum == expect.length.toLong)
+      assert(graft.triples.GraphMerge.mergeEdges(spark, dir,
+        tagged.map(_._1).toDS()) == 0L)
+    }
+  }
 }
