@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.ops.{Ann, Decontaminate, Dedup, Multimodal, Sampling, TextAnalysis}
 
 /** Driver contract (see /root/repo/SURVEY.md §2 for the operator
   * inventory each query demonstrates). Every SQL-expressible operator
@@ -1049,6 +1049,56 @@ object SparkEntry {
       val media = Multimodal.mediaFromText(T(s, dir, "documents"), "doc_id", "text")
       Multimodal.frameSample(s, media).toDF()
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // ======== training-data ops: cluster-canonical dedup ========
+
+    // near-dup PAIRS -> CLUSTERS (similarity isn't transitive) via the
+    // same O(log n) CC the canonicalizer uses; keep min-id per cluster.
+    // Same bounded subset + pair source as dedup_ngram_jaccard.
+    "dedup_cluster_canonical" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 600)
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.8)
+      Dedup.clusterCanonical(s, docs, "doc_id", pairs)
+        .withColumn("is_canonical", col("is_canonical").cast("int"))
+    }),
+
+    // ======== training-data ops: benchmark decontamination ========
+
+    // flag corpus docs sharing 3-gram shingles with a benchmark set
+    // (here: every 37th doc plays the eval set; broadcast its shingles)
+    "decontam_ngram" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Decontaminate.report(
+        docs.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+        bench = docs.filter(col("doc_id") % 37 === 0), n = 3, minShared = 1)
+    }),
+
+    // ======== training-data ops: deterministic stratified sampling ====
+
+    // rebalance the corpus by language with engine-portable hash
+    // sampling: keep 50% of en, all de, 25% of everything else
+    "sample_stratified" -> ((s, dir) => {
+      Sampling.stratified(T(s, dir, "documents"), "doc_id", "lang",
+          rates = Map("en" -> 0.5, "de" -> 1.0), defaultRate = 0.25)
+        .select(col("doc_id"), col("lang"), col("bucket"),
+          col("rate").cast("double").as("rate"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ======== training-data ops: PII redaction ========
+
+    // deterministic PII is synthesized INTO the text (the driver corpus
+    // carries none) so the redaction + counts are oracle-checkable
+    "text_pii_redact" -> ((s, dir) => {
+      val withPii = T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact u"), col("doc_id"),
+          lit("@ex-"), col("doc_id"), lit(".org from 10."),
+          pmod(col("doc_id"), lit(256)), lit(".0.1 card 4111111111111111")
+        ).as("text"))
+      withPii.select(col("doc_id") +: TextAnalysis.piiRedact(col("text")): _*)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1868,7 +1918,95 @@ object SparkEntry {
     "ann_lsh_topk" -> SketchOracles.ann_lsh_topk,
     "ann_ivf_topk" -> SketchOracles.ann_ivf_topk,
     "mm_decode" -> SketchOracles.mm_decode,
-    "mm_frame_sample" -> SketchOracles.mm_frame_sample
+    "mm_frame_sample" -> SketchOracles.mm_frame_sample,
+
+    // pairs (same CTE as dedup_ngram_jaccard) -> recursive-CTE
+    // transitive closure -> numeric-min component + singleton docs
+    "dedup_cluster_canonical" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, len(list_distinct(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS ntok,
+        |   unnest(list_distinct(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS token
+        |  FROM documents WHERE doc_id < 600),
+        | pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.ntok, b.ntok
+        |  HAVING CAST(count(*) AS DOUBLE) / (a.ntok + b.ntok - count(*)) >= 0.8),
+        | und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |         UNION SELECT id_b, id_a FROM pairs),
+        | reach(n, m) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a WHERE u.b <> r.n),
+        | comp AS (SELECT n AS doc_id, least(n, min(m)) AS canonical_id
+        |          FROM reach GROUP BY n),
+        | labeled AS (
+        |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 600) d
+        |  LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        |SELECT l.doc_id, l.canonical_id, cnt.cluster_size,
+        |  CAST(l.doc_id = l.canonical_id AS INT) AS is_canonical
+        |FROM labeled l JOIN (
+        |  SELECT canonical_id, count(*) AS cluster_size
+        |  FROM labeled GROUP BY canonical_id) cnt USING (canonical_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "decontam_ngram" ->
+      """WITH norm AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        | sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i+1:i+3], ' ')
+        |                        for i in range(len(toks)-2)])
+        |    ELSE [] END AS sh
+        |  FROM norm),
+        | corpus AS (
+        |  SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS shingle
+        |  FROM sh WHERE doc_id % 37 <> 0),
+        | bench AS (
+        |  SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 37 = 0)
+        |SELECT c.doc_id, c.n_shingles, count(*) AS n_shared,
+        | round(CAST(count(*) AS DOUBLE) / c.n_shingles, 4) AS contamination
+        |FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        |GROUP BY c.doc_id, c.n_shingles
+        |HAVING count(*) >= 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang,
+        |  (doc_id * 2654435761) % 4294967296 AS bucket,
+        |  CAST(CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 1.0
+        |       ELSE 0.25 END AS DOUBLE) AS rate
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 <
+        |  floor(CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 1.0
+        |        ELSE 0.25 END * 4294967296)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_pii_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id, text || ' contact u' || doc_id || '@ex-' || doc_id
+        |    || '.org from 10.' || (doc_id % 256)
+        |    || '.0.1 card 4111111111111111' AS text
+        |  FROM documents WHERE doc_id < 200),
+        | s1 AS (SELECT doc_id, text, regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1
+        |  FROM pii),
+        | s2 AS (SELECT *, regexp_replace(r1,
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r2 FROM s1),
+        | s3 AS (SELECT *, regexp_replace(r2,
+        |   '\b\d{13,16}\b', '<NUM>', 'g') AS redacted FROM s2)
+        |SELECT doc_id, redacted,
+        | len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        | len(regexp_extract_all(r1,
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        | len(regexp_extract_all(r2, '\b\d{13,16}\b')) AS n_longnums
+        |FROM s3 ORDER BY doc_id""".stripMargin
   )
 
   /** (label, nCentroids, nProbe, nAssign) — the IVF recall/redundancy

@@ -61,8 +61,13 @@ object ConnectedComponents {
   def runLogStarStats(spark: SparkSession, edges: DataFrame,
                       maxIter: Int = 30): (DataFrame, Int) = {
     import spark.implicits._
-    val nodes = edges.select($"src".as("node"))
-      .unionByName(edges.select($"dst".as("node"))).distinct()
+    // checkpoint the distinct edge set FIRST and derive everything
+    // else from it: the input lineage (often an expensive similarity
+    // join) is evaluated exactly once, not once per derived table
+    val e0 = edges.select($"src".as("u"), $"dst".as("v")).distinct()
+      .localCheckpoint()
+    val nodes = e0.select($"u".as("node"))
+      .unionByName(e0.select($"v".as("node"))).distinct()
       .localCheckpoint()
 
     def largeStar(e: DataFrame): DataFrame = {
@@ -92,8 +97,7 @@ object ConnectedComponents {
       (r.getLong(0), r.getLong(1))
     }
 
-    var e = edges.select($"src".as("u"), $"dst".as("v"))
-      .filter($"u" =!= $"v").distinct().localCheckpoint()
+    var e = e0.filter($"u" =!= $"v")
     var sig = signature(e)
     var iter = 0
     var converged = e.isEmpty

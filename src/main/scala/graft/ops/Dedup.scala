@@ -201,4 +201,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy("id_a", "id_b")
   }
+
+  /** The step every production dedup actually ends with: turn near-dup
+    * PAIRS into CLUSTERS and keep one representative per cluster.
+    * Near-duplicate similarity is not transitive, so pairs alone
+    * under-delete (A~B, B~C but A!~C must still collapse to one kept
+    * doc); the standard resolution is connected components over the
+    * pair graph (the same large-star/small-star O(log n) rounds the
+    * KG canonicalizer uses — [[graft.canon.ConnectedComponents]]).
+    *
+    * @param pairs (id_a, id_b) near-dup pairs from any upstream
+    *              detector ([[lshVerified]], [[ngramJaccard]], ...).
+    * @return one row per input doc: (doc_id, canonical_id,
+    *         cluster_size, is_canonical) where canonical_id = the
+    *         numerically smallest doc id of the component (docs in no
+    *         pair are their own singleton cluster). Downstream keeps
+    *         `is_canonical` rows and drops the rest.
+    *
+    * Scale shape: CC runs over near-dup EDGES only (sparse — bounded
+    * by detector output, never corpus²). The joins are left unhinted
+    * on purpose: at low dup rates AQE converts them to broadcasts, but
+    * web corpora routinely carry 30-50% near-dup membership, where the
+    * correct plan is a shuffle hash join keyed on doc_id / component —
+    * forcing broadcast here would OOM exactly when dedup matters most. */
+  def clusterCanonical(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                       idCol: String, pairs: DataFrame): DataFrame = {
+    import graft.canon.ConnectedComponents
+    val edges = pairs.select(col("id_a").cast("string").as("src"),
+      col("id_b").cast("string").as("dst"))
+    // component labels are lexicographic-min strings — used only as
+    // opaque grouping keys; the canonical id is re-derived numerically
+    val member = ConnectedComponents.run(spark, edges)
+      .select(col("node").cast("long").as("doc_id"), col("component"))
+    // cluster stats derive from the edge-sized membership alone;
+    // the corpus is touched by exactly ONE left join (singletons =
+    // the null side), never re-aggregated
+    val clusters = member.groupBy("component")
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("cluster_size"))
+    val enriched = member.join(clusters, "component")
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(enriched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        (col("doc_id") === coalesce(col("canonical_id"), col("doc_id")))
+          .as("is_canonical"))
+      .orderBy("doc_id")
+  }
 }

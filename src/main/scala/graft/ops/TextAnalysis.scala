@@ -76,4 +76,32 @@ object TextAnalysis {
 
   /** Order-sensitive rolling-hash fingerprint (native expression). */
   def fingerprint(text: Column): Column = Functions.doc_fingerprint(text)
+
+  // ---- PII redaction ----------------------------------------------
+  // Patterns are deliberately restricted to the regex subset with
+  // identical semantics in Java regex and RE2 (char classes, bounded
+  // repeats, \b, ASCII \d) so the operator stays oracle-checkable in
+  // any engine. Applied in order: emails first (their domains contain
+  // dots that would otherwise half-match the IP pattern), then IPv4,
+  // then long digit runs (card/account numbers).
+
+  private[ops] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[ops] val LongNumRe = "\\b\\d{13,16}\\b"
+
+  /** Redact emails / IPv4s / 13-16 digit runs, counting each kind.
+    * Map-only (pure column expressions, whole-stage codegen), the
+    * right shape for a 100 TB scrub pass.
+    * @return (redacted, n_emails, n_ips, n_longnums) columns to
+    *         select alongside the caller's id. */
+  def piiRedact(text: Column): Seq[Column] = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    val afterNum = regexp_replace(afterIp, LongNumRe, "<NUM>")
+    Seq(
+      afterNum.as("redacted"),
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(LongNumRe), lit(0))).as("n_longnums"))
+  }
 }

@@ -281,4 +281,93 @@ class OpsSpec extends SparkTestBase {
     val out = Multimodal.decode(spark, rows).orderBy("media_id").collect()
     assert(out.map(_.valid).toSeq == Seq(true, false))
   }
+
+  test("cluster canonical: transitive closure over pairs, singletons kept") {
+    // pairs 0-1, 1-2 but NOT 0-2 at this threshold shape: clusters
+    // must still merge {0,1,2} (similarity isn't transitive; CC is)
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterCanonical(spark, docs, "doc_id", pairs)
+      .orderBy("doc_id").collect()
+    assert(out.length == 6) // one row per input doc
+    val canon = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon(0L) == 0L && canon(1L) == 0L && canon(2L) == 0L)
+    assert(canon(3L) == 3L && canon(4L) == 4L && canon(5L) == 5L)
+    val sizes = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sizes(1L) == 3L && sizes(5L) == 1L)
+    // exactly one canonical per cluster; canonical = numeric min
+    val canonRows = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(canonRows == Set(0L, 3L, 4L, 5L))
+    // numeric (not lexicographic-string) min: ids 9 and 10 cluster to 9
+    val p2 = Seq((9L, 10L)).toDF("id_a", "id_b")
+    val d2 = Seq((9L, "x"), (10L, "y")).toDF("doc_id", "text")
+    val c2 = Dedup.clusterCanonical(spark, d2, "doc_id", p2).collect()
+    assert(c2.forall(_.getLong(1) == 9L))
+  }
+
+  test("decontamination flags shared shingles, never reports the benchmark itself") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // shares 'beta gamma delta'
+      (1L, "totally different words entirely here"),
+      (2L, "beta gamma delta") // fully contained in bench doc
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "x beta gamma delta y")).toDF("doc_id", "text")
+    val out = graft.ops.Decontaminate.report(corpus, "doc_id", "text", bench)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(0L, 2L))
+    assert(out(2L) == ((1, 1L, 1.0))) // its single shingle is contaminated
+    assert(out(0L)._1 == 3 && out(0L)._2 == 1L) // 1 of its 3 shingles
+    // docs shorter than n produce no shingles -> never flagged
+    val short = Seq((7L, "beta gamma")).toDF("doc_id", "text")
+    assert(graft.ops.Decontaminate.report(short, "doc_id", "text", bench).isEmpty)
+  }
+
+  test("stratified sampling: deterministic, rate-respecting, stratum-scoped") {
+    val n = 4000
+    val d = (0 until n).map(i => (i.toLong, if (i % 2 == 0) "en" else "xx"))
+      .toDF("doc_id", "lang")
+    val s1 = graft.ops.Sampling.stratified(d, "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.1)
+    val ids1 = s1.select("doc_id").as[Long].collect().toSet
+    // identical on re-run and under different partitioning
+    val ids2 = graft.ops.Sampling.stratified(d.repartition(7), "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    val en = ids1.count(_ % 2 == 0).toDouble / (n / 2)
+    val xx = ids1.count(_ % 2 == 1).toDouble / (n / 2)
+    assert(math.abs(en - 0.5) < 0.05, s"en rate $en")
+    assert(math.abs(xx - 0.1) < 0.05, s"xx rate $xx")
+    // rate 0 and 1 are exact, not approximate
+    val all = graft.ops.Sampling.stratified(d, "doc_id", "lang",
+      Map("en" -> 1.0), defaultRate = 0.0).select("lang").as[String].collect()
+    assert(all.length == n / 2 && all.forall(_ == "en"))
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.stratified(d, "doc_id", "lang", Map("en" -> 1.5), 0.1)
+    }
+  }
+
+  test("pii redaction removes emails, ips, long digit runs; counts match") {
+    val d = Seq(
+      (0L, "write to a.user+tag@sub.example.org or admin@ex.io from 192.168.0.1"),
+      (1L, "card 4111111111111111 and 12 short 123456789012 not-16 12345678901234567"),
+      (2L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id") +: TextAnalysis.piiRedact(col("text")): _*)
+      .orderBy("doc_id").collect()
+    val r0 = out(0)
+    assert(r0.getString(1) == "write to <EMAIL> or <EMAIL> from <IP>")
+    assert(r0.getInt(2) == 2 && r0.getInt(3) == 1 && r0.getInt(4) == 0)
+    val r1 = out(1)
+    // the 12-digit run is below the 13-16 window and the 17-digit run
+    // is above it (\b forbids a partial match inside the longer run) —
+    // only the 16-digit card number is redacted
+    assert(r1.getString(1).contains("<NUM>") &&
+      r1.getString(1).contains("123456789012") &&
+      r1.getString(1).contains("12345678901234567"))
+    assert(r1.getInt(4) == 1)
+    val r2 = out(2)
+    assert(r2.getString(1) == "clean text with no pii at all" &&
+      r2.getInt(2) == 0 && r2.getInt(3) == 0 && r2.getInt(4) == 0)
+  }
 }
