@@ -60,20 +60,13 @@ object Functions {
   def norm_text(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  /** Register the expressions for SQL use. */
+  /** Register the expressions for SQL use on a live session — the
+    * programmatic twin of the `spark.sql.extensions` config path;
+    * both consume the same builder tuples ([[GraftExtensions]]). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_sim",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "internal")
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "internal")
-    reg.createOrReplaceTempFunction("doc_fingerprint",
-      exprs => DocFingerprint(exprs.head), "internal")
-    reg.createOrReplaceTempFunction("hash64",
-      exprs => Hash64Str(exprs.head), "internal")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      exprs => MinHashSig(exprs.head, 64), "internal")
-    reg.createOrReplaceTempFunction("hash_embed",
-      exprs => HashEmbed(exprs.head, graft.functions.Vectorizer.DefaultDim), "internal")
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      reg.registerFunction(ident, info, builder)
+    }
   }
 }

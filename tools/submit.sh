@@ -26,4 +26,5 @@ exec /opt/spark/bin/spark-submit \
   --driver-java-options "-Xms${SPARK_DRIVER_MEM:-64g} -XX:+UseTransparentHugePages -XX:+AlwaysPreTouch" \
   --conf spark.ui.enabled=false \
   --conf spark.sql.session.timeZone=UTC \
+  --conf spark.sql.extensions=graft.GraftExtensions \
   "$JAR"
