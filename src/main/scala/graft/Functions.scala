@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CosineSimilarity, DocFingerprint, Hash64Str, HashEmbed, MinHashSig, SimHash64}
+import graft.functions.{CosineSimilarity, DocFingerprint, Hash64Str, HashEmbed, MinHashSig, RepetitionStats, SimHash64, WordShingles}
 
 /** Column-level API + SQL registration for graft's native
   * Catalyst expressions. Everything here is deterministic and
@@ -43,6 +43,19 @@ object Functions {
 
   /** Order-sensitive rolling-hash document fingerprint. */
   def doc_fingerprint(text: Column): Column = column(DocFingerprint(expression(text)))
+
+  /** Distinct word n-gram shingles (array<string>) of the
+    * SQL-normalized token stream; < n tokens -> empty. Native
+    * single-pass twin of the `transform(sequence(...))` formulation
+    * (byte-identical output, same DuckDB oracle — FunctionsSpec pins
+    * the parity). */
+  def word_shingles(text: Column, n: Int): Column =
+    column(WordShingles(expression(text), n))
+
+  /** Single-pass line-repetition quality signals:
+    * struct(n_lines, dup_line_frac, dup_line_char_frac). */
+  def repetition_stats(text: Column): Column =
+    column(RepetitionStats(expression(text)))
 
   /** Engine-portable 64-bit string hash (FNV-1a + splitmix64). Use
     * instead of xxhash64 wherever the hash participates in an

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DocFingerprint, Hash64Str, HashEmbed, MinHashSig, SimHash64, Vectorizer}
+import graft.functions.{CosineSimilarity, DocFingerprint, Hash64Str, HashEmbed, MinHashSig, RepetitionStats, SimHash64, Vectorizer, WordShingles}
 
 /** `spark.sql.extensions` entry point: registers graft's native
   * Catalyst expressions as SQL functions at session build time —
@@ -79,6 +79,16 @@ object GraftExtensions {
       case Seq(t)    => MinHashSig(t, 64)
       case Seq(t, k) => MinHashSig(t, intLit("minhash_sig", "k", k))
       case other     => arity("minhash_sig", "1 or 2", other.size)
+    },
+    entry("repetition_stats", classOf[RepetitionStats],
+      "_FUNC_(text) - struct(n_lines, dup_line_frac, dup_line_char_frac) line-repetition quality signals") {
+      case Seq(t) => RepetitionStats(t)
+      case other  => arity("repetition_stats", "1", other.size)
+    },
+    entry("word_shingles", classOf[WordShingles],
+      "_FUNC_(text, n) - distinct word n-gram shingles (array<string>) of the normalized token stream") {
+      case Seq(t, n) => WordShingles(t, intLit("word_shingles", "n", n))
+      case other     => arity("word_shingles", "2", other.size)
     },
     entry("hash_embed", classOf[HashEmbed],
       s"_FUNC_(text[, dim]) - deterministic feature-hashing embedding (array<float>, default dim=${Vectorizer.DefaultDim})") {

@@ -1014,6 +1014,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style line-repetition quality signals. The synthetic
+    // corpus has no newlines, so the query derives a deterministic
+    // line structure first (every 2 tokens -> one line) — the regex
+    // transform is replicated verbatim in the oracle.
+    "text_repetition" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n").as("text"))
+      TextAnalysis.repetition(docs, "doc_id", "text").orderBy(col("doc_id"))
+    }),
+
     "text_token_count" -> ((s, dir) => {
       T(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
@@ -1405,6 +1415,27 @@ object SparkEntry {
         | len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS ws_tokens,
         | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |   regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g') AS text
+        |  FROM documents),
+        | lines AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM docs),
+        | per AS (
+        |  SELECT doc_id, line, count(*) AS c, length(line) AS len
+        |  FROM lines GROUP BY doc_id, line),
+        | agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS INT) AS n_lines, count(*) AS n_distinct,
+        |   sum(c * len) AS total_chars, sum((c - 1) * len) AS dup_chars
+        |  FROM per GROUP BY doc_id)
+        |SELECT doc_id, n_lines,
+        | floor((1 - CAST(n_distinct AS DOUBLE) / n_lines) * 1e4 + 0.5) / 1e4 AS dup_line_frac,
+        | CASE WHEN total_chars = 0 THEN 0.0
+        |  ELSE floor((CAST(dup_chars AS DOUBLE) / total_chars) * 1e4 + 0.5) / 1e4
+        | END AS dup_line_char_frac
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // payload sizes re-derived per format: BMP = 54-byte header +
     // h rows of stride ((3w+3)/4)*4 with hash-derived dims (<=64);

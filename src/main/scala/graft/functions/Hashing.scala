@@ -76,6 +76,55 @@ object Hashing {
     sb.toString
   }
 
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
+  /** Tokenization matching the SQL composition
+    * `split(regexp_replace(lower(trim(text)), "\\s+", " "), " ", -1)`
+    * BYTE-EXACTLY, including its edges: trim strips ' ' (0x20) only
+    * (Spark/DuckDB `trim`, NOT Java `String.trim`), a leading or
+    * trailing non-space whitespace run therefore yields an EMPTY
+    * token, and the empty string yields `[""]`. Needed so the native
+    * [[WordShingles]] expression is oracle-twinnable with the same
+    * DuckDB SQL as the Column form it replaces. */
+  def sqlNormTokens(text: String): Array[String] = {
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    WsRun.split(text.substring(b, e).toLowerCase, -1)
+  }
+
+  /** Distinct word n-gram shingles over [[sqlNormTokens]], first
+    * occurrence order; fewer than n tokens -> empty (the SQL
+    * `CASE WHEN size(toks) < n THEN array()` contract — unlike
+    * [[wordShingles]], which falls back to one whole-text shingle).
+    * Single pass: this exists because the equivalent
+    * `transform(sequence(...), i => array_join(slice(toks, i, n)))`
+    * Column tree re-evaluates the full normalize+split per lambda
+    * element (O(tokens) regexes per row) and again in every pushed
+    * filter that references the alias. */
+  def sqlWordShingles(text: String, n: Int): Array[String] = {
+    val toks = sqlNormTokens(text)
+    if (toks.length < n) Array.empty
+    else {
+      val seen = new java.util.LinkedHashSet[String]
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+
   /** Character k-gram shingles of the normalized text. */
   def charShingles(text: String, k: Int): Array[String] = {
     val t = norm(text)

@@ -80,6 +80,72 @@ case class Hash64Str(child: Expression)
   override def prettyName: String = "hash64"
 }
 
+/** word_shingles(text, n): distinct word n-gram shingles of the
+  * SQL-normalized token stream (array<string>), first-occurrence
+  * order; < n tokens -> empty array. One pass per row — replaces a
+  * higher-order-function Column tree whose lambda re-evaluated the
+  * normalize+split subtree per element (see Hashing.sqlWordShingles).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"word_shingles expects string, got ${dt.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Hashing.sqlWordShingles(input.asInstanceOf[UTF8String].toString, n)
+        .map(UTF8String.fromString))
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
+/** repetition_stats(text): single-pass line-repetition quality
+  * signals (the Gopher-rules family — Rae et al. 2021, "Scaling
+  * Language Models", table A1 — is public knowledge):
+  * struct(n_lines, dup_line_frac, dup_line_char_frac) where
+  *  - n_lines          = count of '\n'-split lines (raw, untrimmed);
+  *  - dup_line_frac    = 1 - distinct_lines / n_lines;
+  *  - dup_line_char_frac = chars in repeat occurrences beyond each
+  *    line's first / total line chars (0.0 when total is 0).
+  * Map-only by construction: a per-doc signal must never shuffle the
+  * corpus; one hash map over the doc's own lines replaces an
+  * explode + (doc_id, line) groupBy.
+  */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_line_char_frac", DoubleType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"repetition_stats expects string, got ${dt.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any = {
+    val lines = input.asInstanceOf[UTF8String].toString.split("\n", -1)
+    val counts = new java.util.HashMap[String, Int]
+    var totalChars = 0L
+    var dupChars = 0L
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      totalChars += l.length
+      val seen = counts.merge(l, 1, Integer.sum)
+      if (seen > 1) dupChars += l.length
+      i += 1
+    }
+    val n = lines.length
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      n,
+      1.0 - counts.size.toDouble / n,
+      if (totalChars == 0L) 0.0 else dupChars.toDouble / totalChars))
+  }
+  override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
+  override def prettyName: String = "repetition_stats"
+}
+
 /** doc_fingerprint(text): order-sensitive polynomial rolling hash. */
 case class DocFingerprint(child: Expression)
     extends UnaryExpression with CodegenFallback {

@@ -24,14 +24,19 @@ object Decontaminate {
   /** Distinct word n-gram shingles of a normalized text column.
     * Documents shorter than n tokens produce no shingles (they cannot
     * contain an n-gram; callers wanting short-doc protection lower n).
-    */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(Functions.norm_text(text), " ")
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " "))))
-  }
+    *
+    * Native single-pass expression. The original pure-builtin tree —
+    * `array_distinct(transform(sequence(1, size(toks)-(n-1)),
+    * i => array_join(slice(toks, i, n), " ")))` — re-evaluated the
+    * normalize+split subtree once PER LAMBDA ELEMENT (higher-order
+    * functions don't cache outer subexpressions in interpreted eval)
+    * and again inside the join-key null filter Catalyst pushes below
+    * the explode: ~3 tree evaluations × O(tokens) regex+split each ⇒
+    * O(tokens²) regex work per row (measured 9.4 s for 5k docs; the
+    * native form is two orders cheaper, byte-identical output —
+    * parity pinned in FunctionsSpec, same DuckDB oracle). */
+  def shingles(text: Column, n: Int): Column =
+    Functions.word_shingles(text, n)
 
   /** Per-corpus-doc contamination report against `bench`.
     *

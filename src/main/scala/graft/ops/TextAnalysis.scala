@@ -104,4 +104,22 @@ object TextAnalysis {
       size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).as("n_ips"),
       size(regexp_extract_all(afterIp, lit(LongNumRe), lit(0))).as("n_longnums"))
   }
+
+  // ---- repetition signals (Gopher-rules family) -------------------
+
+  /** Per-doc line-repetition report: (id, n_lines, dup_line_frac,
+    * dup_line_char_frac), fractions floor-rounded to 4dp (the
+    * engine-unambiguous rounding used by every oracle-compared
+    * ratio). Single native-expression pass per row — a per-doc
+    * quality signal must stay map-only; never explode + groupBy the
+    * corpus for it. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def r4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+    val st = Functions.repetition_stats(col(textCol))
+    docs.select(col(idCol), st.as("st"))
+      .select(col(idCol),
+        col("st.n_lines").as("n_lines"),
+        r4(col("st.dup_line_frac")).as("dup_line_frac"),
+        r4(col("st.dup_line_char_frac")).as("dup_line_char_frac"))
+  }
 }

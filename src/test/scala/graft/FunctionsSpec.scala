@@ -82,6 +82,39 @@ class FunctionsSpec extends SparkTestBase {
       Array("hello", "héllo wörld", "a b c").map(Hashing.hash64)))
   }
 
+  test("native word_shingles is byte-identical to the builtin Column formulation") {
+    // the formulation word_shingles replaced (kept here as the
+    // semantic reference): array_distinct over a transform/slice
+    // sliding window on the SQL-normalized token split
+    def reference(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(Functions.norm_text(text), " ")
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " "))))
+    }
+    val cases = Seq(
+      null.asInstanceOf[String], "", " ", "   ", "one", "one two",
+      "one two three", "one two three four five",
+      "a b c a b c a b c",                 // duplicate shingles
+      "\tTab  Lead mixed\nWS trail\t",     // non-space ws at edges
+      "  spaces  only   collapse  ",
+      "UPPER Case MiXeD tokens here",
+      "a nbsp stays inside token x y" // nbsp is NOT \s
+    )
+    val df = cases.toDF("t")
+    for (n <- Seq(2, 3, 4)) {
+      val rows = df.select(
+        Functions.word_shingles($"t", n).as("native"),
+        reference($"t", n).as("ref")).collect()
+      for ((r, c) <- rows.zip(cases)) {
+        val nat = Option(r.getSeq[String](0)).map(_.toList)
+        val ref = Option(r.getSeq[String](1)).map(_.toList)
+        assert(nat === ref, s"n=$n text=${Option(c).map("'" + _ + "'")}")
+      }
+    }
+  }
+
   test("simhash/minhash behave as similarity sketches") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"
     val b = "the quick brown fox jumps over the lazy dog near the river bank yesterday"

@@ -370,4 +370,22 @@ class OpsSpec extends SparkTestBase {
     assert(r2.getString(1) == "clean text with no pii at all" &&
       r2.getInt(2) == 0 && r2.getInt(3) == 0 && r2.getInt(4) == 0)
   }
+
+  test("line-repetition signals: known fractions, empty text, null text") {
+    val d = Seq(
+      (0L, "aa\nbb\naa\ncc\naa"),  // 5 lines, 3 distinct; aa repeats 2 extra (4 of 10 chars)
+      (1L, "x\ny\nz"),             // no repetition
+      (2L, ""),                    // one empty line, zero chars
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 5 &&
+      out(0).getDouble(2) == 0.4 && out(0).getDouble(3) == 0.4)
+    assert(out(1).getInt(1) == 3 &&
+      out(1).getDouble(2) == 0.0 && out(1).getDouble(3) == 0.0)
+    assert(out(2).getInt(1) == 1 &&
+      out(2).getDouble(2) == 0.0 && out(2).getDouble(3) == 0.0)
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2) && out(3).isNullAt(3))
+  }
 }

@@ -61,6 +61,47 @@ class StatefulLinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("property: streaming novel mentions == batch first-occurrences, any micro-batch split") {
+    val dict = Fixtures.dict(spark)
+    val ac = dict.broadcastAutomaton(spark)
+    val surfaces = Seq("biopsy", "stroke", "arthritis", "metastasis",
+      "obesity", "heart attack", "dose", "age")
+    val rnd = new scala.util.Random(42)
+    // 6 conversations x 12 turns, 1-3 known surfaces per turn, all
+    // timestamps inside one watermark window (nothing can be late)
+    val turns = for {
+      c <- 0 until 6; i <- 0 until 12
+    } yield {
+      val text = Seq.fill(1 + rnd.nextInt(3))(surfaces(rnd.nextInt(surfaces.size)))
+        .mkString("patient with ", " and ", " today")
+      t(s"conv$c", i, text, f"2026-01-01 00:${i}%02d:00")
+    }
+    // batch-side expected: earliest (turn_idx, begin) per (conv, norm)
+    val expected = turns.flatMap(tn =>
+        graft.extract.MentionDetect.matchesIn(ac.value, tn.conv_id, tn.turn_idx, tn.text))
+      .groupBy(m => (m.conv_id, m.norm))
+      .map { case (_, ms) => ms.minBy(m => (m.turn_idx, m.begin)) }
+      .toSeq.map(m => (m.conv_id, m.turn_idx, m.begin, m.norm)).sorted
+
+    // random micro-batch boundaries, turn order preserved
+    val in = MemoryStream[Turn](spark)
+    val q = StatefulLink.novelMentions(in.toDS(), ac)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("novel_parity").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      var rest = turns.sortBy(tn => (tn.turn_idx, tn.conv_id))
+      while (rest.nonEmpty) {
+        val k = 1 + rnd.nextInt(15)
+        in.addData(rest.take(k))
+        rest = rest.drop(k)
+        q.processAllAvailable()
+      }
+      val got = spark.table("novel_parity").as[StatefulLink.TimedMention]
+        .collect().toSeq.map(m => (m.conv_id, m.turn_idx, m.begin, m.norm)).sorted
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("idle conversations expire by event time and re-open with fresh state") {
     val dict = Fixtures.dict(spark)
     val ac = dict.broadcastAutomaton(spark)
