@@ -1109,7 +1109,99 @@ object SparkEntry {
         ).as("text"))
       withPii.select(col("doc_id") +: TextAnalysis.piiRedact(col("text")): _*)
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // ======== as-of join: point-in-time snapshot lookup ========
+
+    // every 97th event plays a config/rate snapshot; each event gets
+    // the latest snapshot of its type at-or-before its ts. ONE
+    // shuffle + window — zero joins (asserted in RelOpsSpec's plan
+    // test); the oracle is the naive per-row latest-row pick.
+    "asof_join_snapshots" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val snaps = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_type"), col("ts"), col("value").as("snap_value"))
+      graft.ops.AsofJoin.asof(
+          ev.select(col("event_id"), col("event_type"), col("ts")),
+          snaps, "event_type", "ts", Seq("snap_value"))
+        .select(col("event_id"), col("event_type"),
+          // parquet ts is TIMESTAMP_NTZ; the session is pinned UTC, so
+          // the cast is the identity instant DuckDB's epoch_us sees
+          unix_micros(col("asof_ts").cast("timestamp")).as("snap_ts_us"),
+          (floor(col("asof_snap_value") * 1e4 + 0.5) / 1e4).as("snap_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ======== range join: interval containment, bucketed ========
+
+    // every 131st event opens a [value, value+25] window; pair every
+    // event inside it via the bucketed-expansion equi-join (no
+    // BroadcastNestedLoop — the naive inequality-join plan), then
+    // aggregate per window. Oracle = the naive range join.
+    "range_join_value_windows" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val iv = ev.filter(col("event_id") % 131 === 0)
+        .select(col("event_id").as("window_id"), col("value").as("lo"),
+          (col("value") + lit(25.0)).as("hi"))
+      val pts = ev.select(col("event_id").as("pid"), col("value").as("pv"),
+        col("event_type").as("ptype"))
+      graft.ops.RangeJoin.bucketed(pts, "pv", iv, "lo", "hi", bucketWidth = 25.0)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_points"),
+          countDistinct(col("ptype")).as("n_types"),
+          (floor(min(col("pv")) * 1e4 + 0.5) / 1e4).as("v_min"),
+          (floor(max(col("pv")) * 1e4 + 0.5) / 1e4).as("v_max"))
+        .orderBy(col("window_id"))
+    }),
+
+    // ======== exact distributed quantiles (histogram CDF) ========
+
+    // inverted-CDF quantiles of document length: the corpus collapses
+    // to its value histogram map-side before any ordering happens
+    "quantile_exact_hist" -> ((s, dir) =>
+      graft.ops.Quantiles.exactHistogram(
+        T(s, dir, "documents"), "n_chars", Seq(0.25, 0.5, 0.9, 0.99, 1.0))),
+
+    // ======== graph statistics over the SIMILAR kNN edges ========
+
+    // exact triangle count with the degree-ordered orientation (the
+    // skew-proof plan); oracle recomputes the same kNN graph from the
+    // fixture VALUES and counts id-ordered triangles — same total
+    "graph_triangle_stats" -> ((s, dir) => {
+      val dict = graft.fixtures.Fixtures.dict(s)
+      graft.triples.GraphStats.triangleStats(
+        graft.triples.Triples.similarEdges(s, dict, k = 2).select("subj", "obj"))
+    }),
+
+    "graph_degree_hist" -> ((s, dir) => {
+      val dict = graft.fixtures.Fixtures.dict(s)
+      graft.triples.GraphStats.degreeHistogram(
+          graft.triples.Triples.similarEdges(s, dict, k = 2).select("subj", "obj"))
+        .orderBy(col("degree"))
+    }),
+
+    // ======== mergeable distinct-count sketches ========
+
+    // KMV bottom-k UDAF (map-side sketch state, driver merge — no
+    // distinct shuffle); oracle recomputes the k smallest distinct
+    // hashes exhaustively and the identical estimator arithmetic
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.kmvDistinct(T(s, dir, "documents"), "text", k = 64)),
+
+    // HLL registers + estimate, all-integer harmonic sum (order-
+    // independent by construction), bit-exact DuckDB twin
+    "sketch_hll_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.hllEstimate(
+        graft.ops.Sketches.hllRegisters(T(s, dir, "documents"), "text", b = 6), b = 6)),
+
+    // ======== gap-based sessionization (6h silence) ========
+
+    // batch twin of streaming session windows; tie-safe RANGE-frame
+    // session index (deterministic under any partitioning)
+    "sessionize_events" -> ((s, dir) =>
+      graft.ops.Sessionize.stats(T(s, dir, "events"), "user_id", "ts",
+          gapUs = 21600000000L)
+        .orderBy(col("user_id"), col("session_idx")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1950,6 +2042,117 @@ object SparkEntry {
     "ann_ivf_topk" -> SketchOracles.ann_ivf_topk,
     "mm_decode" -> SketchOracles.mm_decode,
     "mm_frame_sample" -> SketchOracles.mm_frame_sample,
+    "sketch_kmv_distinct" -> SketchOracles.sketch_kmv_distinct,
+    "sketch_hll_distinct" -> SketchOracles.sketch_hll_distinct,
+
+    // naive latest-at-or-before pick — the N+1 the asof operator
+    // replaces with one window pass
+    "asof_join_snapshots" ->
+      """WITH snaps0 AS (
+        |  SELECT event_type, ts, value AS v FROM events WHERE event_id % 97 = 0),
+        | snaps AS (
+        |  SELECT event_type, ts, max(v) AS v FROM snaps0 GROUP BY 1, 2),
+        | ranked AS (
+        |  SELECT l.event_id, l.event_type, s.ts AS st, s.v,
+        |    row_number() OVER (PARTITION BY l.event_id ORDER BY s.ts DESC) AS r
+        |  FROM events l LEFT JOIN snaps s
+        |    ON s.event_type = l.event_type AND s.ts <= l.ts)
+        |SELECT event_id, event_type, epoch_us(st) AS snap_ts_us,
+        |  floor(v * 1e4 + 0.5) / 1e4 AS snap_value
+        |FROM ranked WHERE r = 1
+        |ORDER BY event_id""".stripMargin,
+
+    // naive inequality range join — the BroadcastNestedLoop the
+    // bucketed rewrite avoids
+    "range_join_value_windows" ->
+      """SELECT i.event_id AS window_id,
+        |  count(*) AS n_points,
+        |  count(DISTINCT p.event_type) AS n_types,
+        |  floor(min(p.value) * 1e4 + 0.5) / 1e4 AS v_min,
+        |  floor(max(p.value) * 1e4 + 0.5) / 1e4 AS v_max
+        |FROM events i JOIN events p
+        |  ON p.value >= i.value AND p.value <= i.value + 25.0
+        |WHERE i.event_id % 131 = 0
+        |GROUP BY 1
+        |ORDER BY window_id""".stripMargin,
+
+    // identical lag/flag/RANGE-cumsum construction (DuckDB sums
+    // integers into HUGEINT — cast back to BIGINT for schema parity)
+    "sessionize_events" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts) > 21600000000
+        |    THEN 1 ELSE 0 END AS flag
+        |  FROM events),
+        | a AS (
+        |  SELECT user_id, us,
+        |    sum(flag) OVER (PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+        |  FROM g)
+        |SELECT user_id, CAST(sidx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events, min(us) AS t_start_us, max(us) AS t_end_us,
+        |  max(us) - min(us) AS duration_us
+        |FROM a GROUP BY 1, 2
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    // inverted-CDF lower quantile, identical histogram construction
+    "quantile_exact_hist" ->
+      """WITH hist AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+        | cum AS (SELECT v, sum(c) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf FROM hist),
+        | total AS (SELECT count(*) AS n FROM documents),
+        | qs AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE,
+        |   0.99::DOUBLE, 1.0::DOUBLE]) AS q)
+        |SELECT q, min(v) AS value, n AS n_rows
+        |FROM qs, total, cum
+        |WHERE cdf >= greatest(ceil(q * n), 1)
+        |GROUP BY q, n
+        |ORDER BY q""".stripMargin,
+
+    // kNN SIMILAR graph from the fixture VALUES -> id-ordered
+    // triangle join (exact; equals the Spark side's degree-ordered
+    // orientation count)
+    "graph_triangle_stats" ->
+      s"""WITH ncitv(code, vec) AS (SELECT code, vec FROM (VALUES
+         |  $ncitVecSqlValues) v(code, term, vec)),
+         | scored AS (
+         |  SELECT a.code AS subj, b.code AS obj,
+         |    ${duckCosine0("a.vec", "b.vec")} AS cos
+         |  FROM ncitv a JOIN ncitv b ON a.code <> b.code),
+         | ranked AS (
+         |  SELECT subj, obj,
+         |   row_number() OVER (PARTITION BY subj ORDER BY cos DESC, obj) AS r
+         |  FROM scored),
+         | und AS (
+         |  SELECT DISTINCT least(subj, obj) AS src, greatest(subj, obj) AS dst
+         |  FROM ranked WHERE r <= 2),
+         | nodes AS (SELECT count(DISTINCT n) AS n_nodes FROM
+         |  (SELECT src AS n FROM und UNION ALL SELECT dst FROM und)),
+         | eds AS (SELECT count(*) AS n_edges FROM und),
+         | tri AS (SELECT count(*) AS n_triangles
+         |  FROM und e1 JOIN und e2 ON e2.src = e1.dst
+         |       JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+         |SELECT n_nodes, n_edges, n_triangles FROM nodes, eds, tri""".stripMargin,
+
+    "graph_degree_hist" ->
+      s"""WITH ncitv(code, vec) AS (SELECT code, vec FROM (VALUES
+         |  $ncitVecSqlValues) v(code, term, vec)),
+         | scored AS (
+         |  SELECT a.code AS subj, b.code AS obj,
+         |    ${duckCosine0("a.vec", "b.vec")} AS cos
+         |  FROM ncitv a JOIN ncitv b ON a.code <> b.code),
+         | ranked AS (
+         |  SELECT subj, obj,
+         |   row_number() OVER (PARTITION BY subj ORDER BY cos DESC, obj) AS r
+         |  FROM scored),
+         | und AS (
+         |  SELECT DISTINCT least(subj, obj) AS src, greatest(subj, obj) AS dst
+         |  FROM ranked WHERE r <= 2),
+         | deg AS (SELECT n AS node, count(*) AS degree FROM
+         |  (SELECT src AS n FROM und UNION ALL SELECT dst FROM und) GROUP BY 1)
+         |SELECT degree, count(*) AS n_nodes FROM deg
+         |GROUP BY degree ORDER BY degree""".stripMargin,
 
     // pairs (same CTE as dedup_ngram_jaccard) -> recursive-CTE
     // transitive closure -> numeric-min component + singleton docs

@@ -56,6 +56,28 @@ object ConnectedComponents {
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 30): DataFrame =
     runLogStarStats(spark, edges, maxIter)._1
 
+  /** Size-adaptive dispatch between [[runLocal]] and [[run]]. The
+    * component graph is typically orders of magnitude smaller than
+    * the corpus it was mined from (near-dup pairs, synonym edges), in
+    * which case the distributed alternation's ~6–10 jobs per round
+    * are pure scheduler latency; at or below `localThreshold` edges
+    * the driver union-find answers in one collect. Both paths honor
+    * the same contract (component = lexicographic-min reachable
+    * node — union always roots at the smaller id and a root is
+    * therefore its set's minimum by induction), so the choice is
+    * invisible to callers and to the oracles (asserted in CanonSpec).
+    * The input is persisted around the dispatch count so an expensive
+    * pair-mining lineage (a similarity join) evaluates once, not
+    * twice. */
+  def runAdaptive(spark: SparkSession, edges: DataFrame,
+                  localThreshold: Long = 200000L): DataFrame = {
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (e.count() <= localThreshold) runLocal(spark, e)
+      else run(spark, e) // run() localCheckpoints first: safe to unpersist after
+    } finally { e.unpersist(): Unit }
+  }
+
   /** [[run]] + the number of alternation rounds executed (tests assert
     * logarithmic convergence on adversarial chains). */
   def runLogStarStats(spark: SparkSession, edges: DataFrame,

@@ -230,8 +230,11 @@ object Dedup {
     val edges = pairs.select(col("id_a").cast("string").as("src"),
       col("id_b").cast("string").as("dst"))
     // component labels are lexicographic-min strings — used only as
-    // opaque grouping keys; the canonical id is re-derived numerically
-    val member = ConnectedComponents.run(spark, edges)
+    // opaque grouping keys; the canonical id is re-derived numerically.
+    // Adaptive CC: near-dup pair sets are tiny next to the corpus
+    // (sub-threshold -> driver union-find, one job instead of ~15);
+    // past the threshold the O(log n) distributed alternation runs
+    val member = ConnectedComponents.runAdaptive(spark, edges)
       .select(col("node").cast("long").as("doc_id"), col("component"))
     // cluster stats derive from the edge-sized membership alone;
     // the corpus is touched by exactly ONE left join (singletons =

@@ -80,8 +80,15 @@ object GraphMerge {
     fresh.persist()
     try {
       val n = fresh.count()
-      if (n > 0)
-        fresh.write.mode("append").partitionBy("pred").parquet(path)
+      // small deltas (early batches, fixture tables) collapse to one
+      // task per pred partition instead of shuffle-partition-many
+      // near-empty files — fewer commit round-trips now, no
+      // small-files debt for every later merge's anti-join scan.
+      // Large deltas keep their parallelism.
+      if (n > 0) {
+        val w = if (n < 100000L) fresh.coalesce(1) else fresh
+        w.write.mode("append").partitionBy("pred").parquet(path)
+      }
       n
     } finally { fresh.unpersist(): Unit }
   }
@@ -106,8 +113,10 @@ object GraphMerge {
     fresh.persist()
     try {
       val n = fresh.count()
-      if (n > 0)
-        fresh.write.mode("append").partitionBy("label").parquet(path)
+      if (n > 0) { // same small-delta coalesce as mergeEdges
+        val w = if (n < 100000L) fresh.coalesce(1) else fresh
+        w.write.mode("append").partitionBy("label").parquet(path)
+      }
       n
     } finally { fresh.unpersist(): Unit }
   }

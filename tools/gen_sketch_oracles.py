@@ -598,6 +598,56 @@ SELECT doc_id AS media_id, frame_idx, offset_ms, frame_checksum
 FROM frames ORDER BY media_id, frame_idx"""
 
 
+def gen_sketch_kmv():
+    """Twin of Sketches.kmvDistinct (k=64) over documents.text: the
+    64 smallest DISTINCT signed hash64 values (SQL's ORDER BY/LIMIT —
+    the exhaustive twin of the Spark side's bottom-k UDAF), then the
+    classic KMV estimator (k-1) * 2^64 / (kth + 2^63) in DOUBLE with
+    the identical literal constants and operation order."""
+    return f"""WITH hs AS (
+  SELECT DISTINCT {to_bigint(hash64('text'))} AS h FROM documents
+),
+mins AS (SELECT h FROM hs ORDER BY h ASC LIMIT 64),
+agg AS (SELECT count(*) AS k_used, max(h) AS kth FROM mins)
+SELECT 64 AS k, CAST(k_used AS INT) AS k_used, kth AS kth_hash,
+  CASE WHEN k_used < 64 THEN floor(CAST(k_used AS DOUBLE) * 100 + 0.5) / 100
+       ELSE floor((CAST(63 AS DOUBLE) * 1.8446744073709552e19)
+                  / (CAST(kth AS DOUBLE) + 9.223372036854776e18) * 100 + 0.5) / 100
+  END AS est_distinct
+FROM agg"""
+
+
+def gen_sketch_hll():
+    """Twin of Sketches.hllRegisters + hllEstimate (b=6, m=64) over
+    documents.text: register = low 6 hash bits, rho = leading zeros
+    of the remaining 58-bit word + 1 via an exact integer bit-length
+    CASE ladder (the Spark side uses length(bin(w)) — also exact; no
+    log2 floats on either engine), harmonic sum kept exact as
+    sum(2^(59-rho)) in HUGEINT, ONE double division at the end."""
+    # bitlen(w) for w < 2^58 as a descending CASE ladder
+    ladder = " ".join(f"WHEN w >= {1 << (bl - 1)}::HUGEINT THEN {bl}"
+                      for bl in range(58, 0, -1))
+    return f"""WITH hs AS (
+  SELECT {hash64('text')} AS h FROM documents
+),
+reg AS (
+  SELECT CAST(h & 63::HUGEINT AS BIGINT) AS register,
+         59 - (CASE {ladder} ELSE 0 END) AS rho
+  FROM (SELECT h, h >> 6 AS w FROM hs)
+),
+regs AS (SELECT register, max(rho) AS max_rho FROM reg GROUP BY register),
+agg AS (
+  SELECT count(*) AS n_nonempty,
+         sum(1::HUGEINT << (59 - max_rho)) AS s_occ
+  FROM regs
+)
+SELECT 6 AS b, 64 AS m, n_nonempty,
+  floor(0.709::DOUBLE * 64.0 * 64.0 * 5.76460752303423488e17
+        / CAST(s_occ + (64 - n_nonempty)::HUGEINT * 576460752303423488::HUGEINT AS DOUBLE)
+        * 100 + 0.5) / 100 AS est_hll
+FROM agg"""
+
+
 ORACLES = {
     "dedup_simhash": gen_dedup_simhash,
     "dedup_minhash_lsh": gen_dedup_minhash_lsh,
@@ -606,6 +656,8 @@ ORACLES = {
     "ann_ivf_topk": gen_ann_ivf_topk,
     "mm_decode": gen_mm_decode,
     "mm_frame_sample": gen_mm_frame_sample,
+    "sketch_kmv_distinct": gen_sketch_kmv,
+    "sketch_hll_distinct": gen_sketch_hll,
     # SQL snippets (not standalone oracles) consumed by oracle SQL
     # assembled in SparkEntry:
     "mm_hash64_text": gen_mm_hash64_text,
