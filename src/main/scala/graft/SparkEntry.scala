@@ -1201,7 +1201,110 @@ object SparkEntry {
     "sessionize_events" -> ((s, dir) =>
       graft.ops.Sessionize.stats(T(s, dir, "events"), "user_id", "ts",
           gapUs = 21600000000L)
-        .orderBy(col("user_id"), col("session_idx")))
+        .orderBy(col("user_id"), col("session_idx"))),
+
+    // ======== bounded-depth graph traversal (Cypher [*1..k] twin) ====
+
+    // 3-hop undirected neighborhood of CDE2001 over the base
+    // structural + synonym edges — frontier BFS (per-round work ∝
+    // frontier fan-out, never path count); oracle is a recursive-CTE
+    // BFS with min-hop over the identical fixture edge union
+    "kg_khop_traverse" -> ((s, dir) => {
+      import s.implicits._
+      val dict = graft.fixtures.Fixtures.dict(s)
+      val edges = graft.triples.Triples.baseEdges(s, dict)
+        .unionByName(graft.triples.Triples.hasSynonym(s, dict))
+        .select("subj", "obj")
+      graft.triples.GraphTraverse.kHop(s, edges,
+          Seq("CDE2001").toDF("node"), maxHops = 3, directed = false)
+        .orderBy($"node")
+    }),
+
+    // ======== fixed-point integer PageRank over SIMILAR kNN edges ====
+
+    // 5 iterations, rank mass in BIGINT units of 1e-12 — division,
+    // damping and summation are all integer ops, so the result is
+    // independent of partitioning/reduction order and the oracle
+    // replays the identical arithmetic on the fixture kNN graph
+    "graph_pagerank" -> ((s, dir) => {
+      val dict = graft.fixtures.Fixtures.dict(s)
+      graft.triples.GraphStats.pageRank(
+          graft.triples.Triples.similarEdges(s, dict, k = 2)
+            .select("subj", "obj"), iters = 5)
+        .orderBy(col("node"))
+    }),
+
+    // ======== exact heavy hitters (the CMS ground truth) ========
+
+    // top-20 most frequent tokens corpus-wide: two-stage agg (map-side
+    // partial) + TakeOrdered — no full sort, no driver-side counting
+    "text_top_terms" -> ((s, dir) =>
+      graft.ops.Sketches.tokenOccurrences(T(s, dir, "documents"), "text")
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)),
+
+    // ======== Count-Min frequency sketch ========
+
+    // CMS (4×4096 cells, disjoint 12-bit slices of one hash64) built
+    // corpus-wide, probed with the exact top-10 tokens; output pins
+    // (exact_n, cms_est) side by side — est ≥ exact by construction
+    // (asserted in SketchesSpec), bit-exact HUGEINT twin in DuckDB
+    "sketch_countmin_freq" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val occ = graft.ops.Sketches.tokenOccurrences(docs, "text")
+      val exact = occ.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      val probes = exact.orderBy(col("exact_n").desc, col("token")).limit(10)
+      val cms = graft.ops.Sketches.countMinTable(docs, "text", d = 4, wBits = 12)
+      val est = graft.ops.Sketches.countMinEstimate(
+        cms, probes.select("token"), "token", d = 4, wBits = 12)
+      probes.join(est, "token")
+        .select(col("token"), col("exact_n"), col("cms_est"))
+        .orderBy(col("token"))
+    }),
+
+    // ======== multi-level aggregation: ROLLUP + grouping_id ========
+
+    // per-(type, user-bucket) subtotals, per-type totals and the
+    // grand total in ONE pass (Expand + partial agg — not three
+    // scans); value sums quantized to integer cents so every level
+    // is reduction-order-independent and engine-portable
+    "agg_rollup" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("user_bucket", col("user_id") % 10)
+      ev.rollup(col("event_type"), col("user_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("sum_v2"),
+          grouping_id().as("lvl")) // must live inside the agg list
+        .orderBy(col("lvl"), col("event_type").asc_nulls_first,
+          col("user_bucket").asc_nulls_first)
+    }),
+
+    // ======== pivot: lang × source contingency counts ========
+
+    // static pivot column set keeps the schema analysis-time-known
+    // (the scale contract for pivot: never pivot on an unbounded
+    // domain); absent combos filled 0 to match the SQL CASE-sum twin
+    "agg_pivot" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .groupBy(col("lang"))
+        .pivot("source", Seq("src0", "src1", "src2", "src3", "src4"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("lang"))),
+
+    // ======== Bloom-filter decontamination prefilter ========
+
+    // same corpus/bench split as decontam_ngram, but membership via a
+    // 2^16-bit bloom (3 disjoint 16-bit probes of one hash64): bloom
+    // hits vs exact hits per doc — the false-positive overshoot is
+    // observable output, pinned bit-exactly by the HUGEINT oracle
+    "decontam_bloom" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Decontaminate.bloomReport(
+        docs.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+        bench = docs.filter(col("doc_id") % 37 === 0),
+        n = 3, mBits = 16, k = 3)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2044,6 +2147,107 @@ object SparkEntry {
     "mm_frame_sample" -> SketchOracles.mm_frame_sample,
     "sketch_kmv_distinct" -> SketchOracles.sketch_kmv_distinct,
     "sketch_hll_distinct" -> SketchOracles.sketch_hll_distinct,
+    "sketch_countmin_freq" -> SketchOracles.sketch_countmin_freq,
+    "decontam_bloom" -> SketchOracles.decontam_bloom,
+
+    // ROLLUP levels via GROUPING bitmask (same bit order as Spark's
+    // grouping_id over the listed columns)
+    "agg_rollup" ->
+      """WITH ev AS (SELECT event_type, user_id % 10 AS user_bucket,
+        |  CAST(floor(value * 100) AS BIGINT) AS v2 FROM events)
+        |SELECT event_type, user_bucket, count(*) AS n,
+        |  CAST(sum(v2) AS BIGINT) AS sum_v2,
+        |  GROUPING(event_type) * 2 + GROUPING(user_bucket) AS lvl
+        |FROM ev GROUP BY ROLLUP(event_type, user_bucket)
+        |ORDER BY lvl, event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0,
+        |  CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1,
+        |  CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2,
+        |  CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS src3,
+        |  CAST(sum(CASE WHEN source = 'src4' THEN 1 ELSE 0 END) AS BIGINT) AS src4
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // corpus-wide exact token frequencies, total (n DESC, token) order
+    "text_top_terms" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        |    '[^\p{L}\p{N}]+'), tk -> tk <> '')) AS token FROM documents)
+        |SELECT token, count(*) AS n FROM t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // recursive-CTE min-hop BFS over the identical fixture edge union
+    // (base structural edges + HAS_SYNONYM), symmetrized — the naive
+    // twin of the frontier-limited iterative join
+    "kg_khop_traverse" ->
+      s"""WITH RECURSIVE
+         | pv(pv_code, pv_term, ncit_code) AS (
+         |   SELECT * FROM (VALUES $pvEdgeSqlValues) v(pv_code, pv_term, ncit_code)),
+         | cde(cde_code, cde_term, vdm_code) AS (
+         |   SELECT * FROM (VALUES $cdeVdmSqlValues) v(cde_code, cde_term, vdm_code)),
+         | vdmpv(vdm_code, pv_code) AS (SELECT * FROM (VALUES $vdmPvSqlValues) v(vdm_code, pv_code)),
+         | decoc(cde_code, dec_code, oc_code, oc_term) AS (
+         |   SELECT * FROM (VALUES $decOcSqlValues) v(cde_code, dec_code, oc_code, oc_term)),
+         | decpr(dec_code, pr_code, pr_term, ncit_code) AS (
+         |   SELECT * FROM (VALUES $decPrSqlValues) v(dec_code, pr_code, pr_term, ncit_code)),
+         | ocg(oc_code, ncit_code) AS (SELECT * FROM (VALUES $ocGroundSqlValues) v(oc_code, ncit_code)),
+         | syn(code, term) AS (SELECT * FROM (VALUES $synonymSqlValues) v(code, term)),
+         | ed AS (
+         |   SELECT DISTINCT pv_code AS s, ncit_code AS o FROM pv
+         |   UNION SELECT oc_code, ncit_code FROM ocg
+         |   UNION SELECT pr_code, ncit_code FROM decpr
+         |   UNION SELECT cde_code, vdm_code FROM cde
+         |   UNION SELECT vdm_code, pv_code FROM vdmpv
+         |   UNION SELECT cde_code, dec_code FROM decoc
+         |   UNION SELECT dec_code, oc_code FROM decoc
+         |   UNION SELECT dec_code, pr_code FROM decpr
+         |   UNION SELECT code, term FROM syn),
+         | und AS (SELECT s AS a, o AS b FROM ed WHERE s <> o
+         |         UNION SELECT o, s FROM ed WHERE s <> o),
+         | reach(node, hop) AS (
+         |   SELECT 'CDE2001', 0
+         |   UNION ALL
+         |   SELECT u.b, r.hop + 1 FROM reach r JOIN und u ON u.a = r.node
+         |   WHERE r.hop < 3)
+         |SELECT node, CAST(min(hop) AS INT) AS hop
+         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    // 5 unrolled iterations of the identical integer fixed-point
+    // arithmetic over the fixture SIMILAR kNN graph (HUGEINT sums
+    // cast back per step; integer ops make order irrelevant)
+    "graph_pagerank" -> {
+      val base =
+        s"""WITH ncitv(code, vec) AS (SELECT code, vec FROM (VALUES
+           |  $ncitVecSqlValues) v(code, term, vec)),
+           | simranked AS (
+           |  SELECT a.code AS sa, b.code AS sb,
+           |    row_number() OVER (PARTITION BY a.code
+           |      ORDER BY ${duckCosine0("a.vec", "b.vec")} DESC, b.code) AS r
+           |  FROM ncitv a JOIN ncitv b ON a.code <> b.code),
+           | fwd AS (SELECT DISTINCT sa AS src, sb AS dst FROM simranked
+           |         WHERE r <= 2 AND sa <> sb),
+           | nodes AS (SELECT DISTINCT n AS node FROM
+           |   (SELECT src AS n FROM fwd UNION ALL SELECT dst FROM fwd)),
+           | nn AS (SELECT count(*) AS n FROM nodes),
+           | od AS (SELECT src, count(*) AS outdeg FROM fwd GROUP BY src),
+           | it0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn)""".stripMargin
+      val its = (1 to 5).map { i =>
+        s""",
+           | it$i AS (
+           |  SELECT nd.node,
+           |    CAST(((15 * 1000000000000) // 100) // nn.n
+           |         + coalesce(s.c, 0) AS BIGINT) AS r
+           |  FROM nodes nd CROSS JOIN nn LEFT JOIN (
+           |    SELECT f.dst AS node,
+           |      CAST(sum(((p.r // o.outdeg) * 85) // 100) AS BIGINT) AS c
+           |    FROM fwd f JOIN it${i - 1} p ON p.node = f.src
+           |         JOIN od o ON o.src = f.src
+           |    GROUP BY f.dst) s ON s.node = nd.node)""".stripMargin
+      }.mkString
+      base + its + "\nSELECT node, r AS rank FROM it5 ORDER BY node"
+    },
 
     // naive latest-at-or-before pick — the N+1 the asof operator
     // replaces with one window pass

@@ -70,4 +70,67 @@ object Decontaminate {
       .select("doc_id", "n_shingles", "n_shared", "contamination")
       .orderBy("doc_id")
   }
+
+  /** Bloom-filter contamination PREfilter: the shape [[report]] takes
+    * when the benchmark shingle set is too large to broadcast as
+    * strings but its BIT SET still fits everywhere — k hash probes
+    * into an m-bit filter, a candidate shingle "hits" iff all k of
+    * its bit positions are set. One-sided by construction: every true
+    * match hits (no false negatives), a false-positive rate of
+    * ~(occupancy)^k lets through a few extras — so the cheap bloom
+    * pass quarantines candidates and the exact [[report]] join runs
+    * only on the survivors. Returned per doc: bloom hits alongside
+    * exact hits, so the false-positive overshoot is observable (and
+    * oracle-pinned: the k positions are disjoint log2(m)-bit slices
+    * of the shingle's 64-bit hash, bit-exact in DuckDB HUGEINT).
+    *
+    * The filter is materialized RELATIONALLY as its ≤ m distinct set
+    * positions — a DataFrame Catalyst broadcasts like any dimension —
+    * keeping the probe join inside whole-stage codegen; packing the
+    * same positions into Array[Long] words for a closure-side test is
+    * the constant-factor variant of the identical plan.
+    *
+    * @param mBits log2 of filter size (positions in [0, 2^mBits));
+    *              k·mBits ≤ 64 so slices stay disjoint
+    * @return (doc_id, n_shingles, n_bloom_hits, n_exact_hits) for
+    *         docs with ≥ 1 bloom hit; n_bloom_hits ≥ n_exact_hits
+    */
+  def bloomReport(docs: DataFrame, idCol: String, textCol: String,
+                  bench: DataFrame, n: Int = 3,
+                  mBits: Int = 16, k: Int = 3): DataFrame = {
+    require(k >= 1 && mBits >= 1 && k * mBits <= 64,
+      s"need k*mBits <= 64, got k=$k mBits=$mBits")
+    val mask = (1L << mBits) - 1
+    def positions(shingleCol: Column): Column = {
+      val h = Functions.hash64_str(shingleCol)
+      array((0 until k).map(j =>
+        shiftrightunsigned(h, j * mBits).bitwiseAND(lit(mask))): _*)
+    }
+    val benchSh = bench
+      .select(explode(shingles(col(textCol), n)).as("shingle")).distinct()
+    // the filter: distinct set bit positions (<= min(2^mBits, k*|bench|))
+    val filterBits = benchSh
+      .select(explode(positions(col("shingle"))).as("bit")).distinct()
+    val corpus = docs
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+    // bloom hit = ALL k probe positions present in the filter
+    val bloomHits = corpus
+      .select(col("doc_id"), col("n_shingles"), col("shingle"),
+        explode(positions(col("shingle"))).as("bit"))
+      .join(broadcast(filterBits), "bit")
+      .groupBy(col("doc_id"), col("n_shingles"), col("shingle"))
+      .agg(count(lit(1)).as("n_set"))
+      .filter(col("n_set") === k)
+    val exact = corpus.join(broadcast(benchSh), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact_hits"))
+    bloomHits
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_bloom_hits"))
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
+        coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -97,6 +97,65 @@ object Sketches {
       .groupBy("register").agg(max("rho").as("max_rho"))
   }
 
+  /** Tokenized occurrences of a string column: one row per token, WITH
+    * multiplicity (unlike the distinct shingle ops) — the input shape
+    * for frequency sketches. Same tokenizer contract as
+    * [[graft.functions.Hashing.tokenize]]: lowercase, split on
+    * non-letter/digit runs, drop empties. */
+  def tokenOccurrences(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+")).as("token"))
+      .filter(col("token") =!= "")
+
+  /** Count-Min sketch table (d rows × 2^wBits counters) over token
+    * occurrences: one output row per OCCUPIED cell, (row, pos, cnt).
+    * The d row-positions are disjoint wBits-wide slices of the single
+    * 64-bit token hash (d·wBits ≤ 64) — the standard
+    * one-strong-hash-many-fields construction, so the DuckDB twin
+    * recomputes every cell bit-exactly. The groupBy is map-side
+    * combined: the shuffle carries at most d·2^wBits rows per
+    * partition REGARDLESS of corpus size, and two batches' tables
+    * merge by cell-wise addition (the CMS merge law, asserted in
+    * SketchesSpec).
+    */
+  def countMinTable(df: DataFrame, textCol: String,
+                    d: Int = 4, wBits: Int = 12): DataFrame = {
+    require(d >= 1 && wBits >= 1 && d * wBits <= 64,
+      s"need d*wBits <= 64, got d=$d wBits=$wBits")
+    val mask = (1L << wBits) - 1
+    val h = graft.Functions.hash64_str(col("token"))
+    val cells = (0 until d).map(j =>
+      struct(lit(j).as("row"),
+        shiftrightunsigned(h, j * wBits).bitwiseAND(lit(mask)).as("pos")))
+    tokenOccurrences(df, textCol)
+      .select(explode(array(cells: _*)).as("cell"))
+      .groupBy(col("cell.row").as("row"), col("cell.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a CMS table: for each probe token,
+    * min over the d cells its hash addresses (the classic CMS upper
+    * bound: est ≥ true count always, est ≤ true + εN w.h.p.). The
+    * sketch side of the join is ≤ d·2^wBits rows — broadcast — so
+    * probing any number of tokens is map-only over the probe set. */
+  def countMinEstimate(cms: DataFrame, probes: DataFrame, tokenCol: String,
+                       d: Int = 4, wBits: Int = 12): DataFrame = {
+    require(d >= 1 && wBits >= 1 && d * wBits <= 64,
+      s"need d*wBits <= 64, got d=$d wBits=$wBits")
+    val mask = (1L << wBits) - 1
+    val h = graft.Functions.hash64_str(col(tokenCol))
+    val cells = (0 until d).map(j =>
+      struct(lit(j).as("row"),
+        shiftrightunsigned(h, j * wBits).bitwiseAND(lit(mask)).as("pos")))
+    probes
+      .select(col(tokenCol).as("token"), explode(array(cells: _*)).as("cell"))
+      .join(broadcast(cms),
+        col("cell.row") === cms("row") && col("cell.pos") === cms("pos"),
+        "left")
+      .groupBy(col("token"))
+      // a missing cell means 0 occurrences hashed there -> est 0
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
   /** HLL cardinality estimate from a register table. All float work
     * is ONE division at the end: the harmonic sum Σ 2^−rho is kept
     * exact as Σ 2^(59−rho) in DECIMAL(38,0) (empty registers

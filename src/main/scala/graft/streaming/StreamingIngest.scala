@@ -102,4 +102,25 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Gap-based session windows on the event-time turn stream — the
+    * streaming twin of the batch [[graft.ops.Sessionize]] (identical
+    * gap semantics: a session extends while consecutive events are
+    * ≤ gap apart). Native `session_window` state merges adjacent
+    * per-event windows incrementally; the watermark bounds how long
+    * an open session waits for late data, so state is dropped instead
+    * of accumulating forever — the property that makes this safe on
+    * an unbounded firehose. Batch parity (n_turns, [t_first, t_last],
+    * window.end = t_last + gap) is asserted in StreamingSpec; the one
+    * divergence is the exact-gap boundary (session_window splits at
+    * diff ≥ gap, the batch op at diff > gap — pinned in RelOpsSpec).
+    */
+  def sessionStream(spark: SparkSession, inputDir: String,
+                    gap: String = "6 hours",
+                    watermark: String = "1 hour"): DataFrame =
+    readTurns(spark, inputDir)
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        min(col("ts")).as("t_first"), max(col("ts")).as("t_last"))
 }

@@ -34,6 +34,70 @@ object GraphStats {
     deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Fixed-iteration PageRank in pure 64-bit integer fixed-point —
+    * rank mass is carried as BIGINT units of 1/`scale`, so every
+    * arithmetic step (integer division by out-degree, the 85/100
+    * damping, the commutative integer sum of in-contributions) is
+    * exactly reproducible on any engine, any partitioning, any
+    * reduction order. Floating-point PageRank cannot be oracle-pinned
+    * across engines: double summation order differs between Spark's
+    * partial aggregation tree and a single-node engine's sequential
+    * fold. The cost of the integer form is sub-ulp truncation per
+    * division (bounded mass loss, identically truncated on both
+    * engines) — pinned semantics, not an approximation contract.
+    *
+    * Dangling nodes (no out-edges) leak their damped mass — the
+    * simple "mass-loss" PageRank variant, documented and pinned by
+    * the oracle. Iteration shape at scale: per round, one join of the
+    * rank table against the edge table keyed on src (co-partitioned
+    * if `edges` is pre-partitioned by src) and one map-side-combined
+    * sum keyed on dst; `localCheckpoint` truncates the iterative
+    * lineage. Fixed `iters` (no convergence test) keeps the job DAG
+    * static and the result deterministic.
+    *
+    * @param edges directed (subj, obj); duplicates and self-loops
+    *              dropped
+    * @return (node, rank) — rank in fixed-point units of 1/scale;
+    *         Σ rank ≤ scale (mass lost to truncation + dangling)
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val fwd = edges.select(col("subj").cast("string").as("src"),
+        col("obj").cast("string").as("dst"))
+      .filter($"src" =!= $"dst").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = fwd.select($"src".as("node"))
+        .unionByName(fwd.select($"dst".as("node"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val outdeg = fwd.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+      val n = nodes.count() // scalar action; node count, never corpus rows
+      require(n > 0, "pageRank needs a non-empty graph")
+      val r0 = scale / n
+      val tele = (15L * scale / 100) / n
+      var ranks = nodes.withColumn("r", lit(r0)).localCheckpoint()
+      var i = 0
+      while (i < iters) {
+        val contrib = fwd
+          .join(ranks, fwd("src") === ranks("node"))
+          .join(outdeg, "src")
+          .select($"dst".as("node"),
+            expr("((r div outdeg) * 85) div 100").as("c"))
+          .groupBy($"node").agg(sum($"c").as("c"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select($"node", (lit(tele) + coalesce($"c", lit(0L))).as("r"))
+          .localCheckpoint()
+        i += 1
+      }
+      val out = ranks.select($"node", $"r".as("rank"))
+      nodes.unpersist()
+      out
+    } finally { fwd.unpersist(): Unit }
+  }
+
   /** Exact triangle count + basic sizes, ONE row
     * (n_nodes, n_edges, n_triangles).
     *

@@ -322,6 +322,44 @@ class OpsSpec extends SparkTestBase {
     assert(graft.ops.Decontaminate.report(short, "doc_id", "text", bench).isEmpty)
   }
 
+  test("bloom prefilter: no false negatives, hits bounded below by exact") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "totally different words entirely here"),
+      (2L, "beta gamma delta")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "x beta gamma delta y")).toDF("doc_id", "text")
+    val bloom = graft.ops.Decontaminate.bloomReport(
+      corpus, "doc_id", "text", bench, n = 3, mBits = 16, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val exact = graft.ops.Decontaminate.report(corpus, "doc_id", "text", bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every exactly-contaminated doc must bloom-hit (one-sided filter) ...
+    exact.foreach { case (id, nShared) =>
+      assert(bloom.contains(id), s"false negative on doc $id")
+      assert(bloom(id)._1 >= nShared)
+      assert(bloom(id)._2 == nShared) // reported exact count agrees
+    }
+    // ... and bloom hits never undershoot exact hits on any row
+    bloom.values.foreach { case (b, e) => assert(b >= e) }
+  }
+
+  test("bloom prefilter: saturated filter admits false positives, never drops") {
+    // k*mBits = 4 bits -> 16-position filter; a multi-doc bench saturates
+    // it, so disjoint corpus shingles collide in (almost) every probe
+    val corpus = Seq((0L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val bench = (100L to 130L).map(i =>
+      (i, s"bench row $i unique content piece ${i * 31}")).toDF("doc_id", "text")
+    val bloom = graft.ops.Decontaminate.bloomReport(
+      corpus, "doc_id", "text", bench, n = 3, mBits = 2, k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // nothing is exactly shared ...
+    assert(graft.ops.Decontaminate.report(corpus, "doc_id", "text", bench).isEmpty)
+    // ... yet the saturated filter flags the doc with exact=0 (FPs observable)
+    assert(bloom.get(0L).exists { case (b, e) => b >= 1 && e == 0 })
+  }
+
   test("stratified sampling: deterministic, rate-respecting, stratum-scoped") {
     val n = 4000
     val d = (0 until n).map(i => (i.toLong, if (i % 2 == 0) "en" else "xx"))

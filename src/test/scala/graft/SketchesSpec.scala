@@ -95,6 +95,48 @@ class SketchesSpec extends SparkTestBase {
     assert(GraphStats.triangleStats(tri).head().getAs[Long]("n_triangles") == 1L)
   }
 
+  test("countmin: estimate >= exact for every token (one-sided error)") {
+    val docs = corpus(400, dupEvery = 3)
+    val cms = Sketches.countMinTable(docs, "text", d = 4, wBits = 12)
+    val exact = Sketches.tokenOccurrences(docs, "text")
+      .groupBy("token").agg(count(lit(1)).as("exact_n"))
+    val est = Sketches.countMinEstimate(cms, exact.select("token"), "token",
+      d = 4, wBits = 12)
+    val joined = exact.join(est, "token")
+      .as[(String, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (t, ex, e) =>
+      assert(e >= ex, s"token=$t exact=$ex est=$e") }
+  }
+
+  test("countmin: tiny width forces collisions, still never undercounts") {
+    val docs = corpus(500)
+    // 2 rows x 16 cells for thousands of distinct tokens: heavy collisions
+    val cms = Sketches.countMinTable(docs, "text", d = 2, wBits = 4)
+    val exact = Sketches.tokenOccurrences(docs, "text")
+      .groupBy("token").agg(count(lit(1)).as("exact_n"))
+    val joined = exact.join(
+      Sketches.countMinEstimate(cms, exact.select("token"), "token",
+        d = 2, wBits = 4), "token")
+      .as[(String, Long, Long)].collect()
+    assert(joined.forall { case (_, ex, e) => e >= ex })
+    assert(joined.exists { case (_, ex, e) => e > ex }, "expected collisions")
+  }
+
+  test("countmin merge law: cell-wise sum of split tables equals the whole") {
+    val docs = corpus(300)
+    val whole = Sketches.countMinTable(docs, "text", d = 4, wBits = 8)
+      .as[(Int, Long, Long)].collect().toSet
+    val h1 = Sketches.countMinTable(
+      docs.filter($"text" < "document number 2"), "text", d = 4, wBits = 8)
+    val h2 = Sketches.countMinTable(
+      docs.filter(!($"text" < "document number 2")), "text", d = 4, wBits = 8)
+    val merged = h1.unionByName(h2)
+      .groupBy("row", "pos").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
   test("degree histogram on a known graph") {
     val star = Seq("c" -> "l1", "c" -> "l2", "c" -> "l3").toDF("subj", "obj")
     val h = GraphStats.degreeHistogram(star).as[(Long, Long)].collect().toMap

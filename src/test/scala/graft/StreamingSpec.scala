@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+
 import graft.fixtures.Fixtures
 import graft.streaming.StreamingIngest
 
@@ -82,5 +84,57 @@ class StreamingSpec extends SparkTestBase {
     assert(q.exception.isEmpty)
     assert(spark.table("turn_rate").columns.toSet ==
       Set("window", "conv_id", "n_turns"))
+  }
+
+  test("session windows: streaming sessions equal the batch sessionizer") {
+    import java.sql.Timestamp
+    val inDir = Files.createTempDirectory("graft-stream-sess").toString
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // c0: two sessions split by a 7h silence; c1: one session held
+    // together by a 5h59m pause (under the 6h gap; the exact-gap
+    // boundary differs between engines — see RelOpsSpec — and is
+    // deliberately avoided here)
+    // the far-future sentinel advances the watermark past every real
+    // session's end so append mode (the only mode session windows
+    // support) emits them during the terminal no-data micro-batch;
+    // the sentinel's own still-open session is the one row NOT
+    // emitted, and is excluded from the comparison below
+    val rows = (Seq(
+      ("c0", 0, t(0, 0)), ("c0", 1, t(0, 10)), ("c0", 2, t(7, 30)),
+      ("c0", 3, t(7, 40)),
+      ("c1", 0, t(1, 0)), ("c1", 1, t(6, 59))
+    ) :+ (("zz", 0, Timestamp.valueOf("2026-01-03 00:00:00"))))
+      .map { case (c, i, ts) => (c, i, "user", s"turn $i", null: String, ts) }
+    rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(inDir)
+
+    val q = StreamingIngest.sessionStream(spark, inDir, gap = "6 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty)
+
+    val streamed = spark.table("sessions")
+      .select($"conv_id", $"n_turns",
+        unix_micros($"t_first").as("t_start_us"),
+        unix_micros($"t_last").as("t_end_us"),
+        unix_micros($"sw.end").as("w_end_us"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (c, n, s, e, w) => (c, s) -> (n, e, w) }.toMap
+    val batch = graft.ops.Sessionize.stats(
+        spark.read.parquet(inDir).filter($"conv_id" =!= "zz"),
+        "conv_id", "ts", gapUs = 21600000000L)
+      .select($"conv_id", $"n_events", $"t_start_us", $"t_end_us")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (c, n, s, e) => (c, s) -> (n, e) }.toMap
+
+    assert(streamed.keySet == batch.keySet) // same sessions, same starts
+    assert(batch.size == 3) // c0 splits at the 7h gap, c1's exact-6h doesn't
+    batch.foreach { case (k, (n, end)) =>
+      val (sn, send, wend) = streamed(k)
+      assert(sn == n && send == end)
+      assert(wend == end + 21600000000L) // window end = last event + gap
+    }
   }
 }

@@ -648,6 +648,81 @@ SELECT 6 AS b, 64 AS m, n_nonempty,
 FROM agg"""
 
 
+def gen_sketch_countmin():
+    """Twin of Sketches.countMinTable + countMinEstimate (d=4,
+    wBits=12) over documents.text token occurrences, probed with the
+    exact top-10 tokens: cell positions are disjoint 12-bit slices of
+    the single hash64, every cell count recomputed exactly, estimate =
+    min over the 4 addressed cells."""
+    return f"""WITH tok AS (
+  SELECT unnest({toks('text')}) AS token FROM documents
+),
+th AS (
+  SELECT token, {hash64('token')} AS h FROM (SELECT DISTINCT token FROM tok)
+),
+occ AS (SELECT t.token, th.h FROM tok t JOIN th USING (token)),
+cells AS (
+  SELECT j, CAST((h >> (12*j)) & 4095::HUGEINT AS BIGINT) AS pos,
+         count(*) AS cnt
+  FROM occ, range(4) r(j) GROUP BY 1, 2
+),
+exact AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY token),
+probes AS (SELECT token, exact_n FROM exact ORDER BY exact_n DESC, token LIMIT 10)
+SELECT p.token, p.exact_n, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+FROM probes p JOIN th ON th.token = p.token
+CROSS JOIN range(4) r(j)
+LEFT JOIN cells c ON c.j = r.j
+  AND c.pos = CAST((th.h >> (12*r.j)) & 4095::HUGEINT AS BIGINT)
+GROUP BY p.token, p.exact_n
+ORDER BY p.token"""
+
+
+def gen_decontam_bloom():
+    """Twin of Decontaminate.bloomReport (n=3, mBits=16, k=3) on the
+    decontam_ngram corpus/bench split: the filter is the distinct set
+    of 16-bit positions (3 disjoint hash64 slices) over the bench
+    shingle set; a corpus shingle bloom-hits iff all 3 of its positions
+    are set. Exact hits recomputed alongside so the false-positive
+    overshoot is part of the pinned output."""
+    return f"""WITH norm AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, CASE WHEN len(toks) >= 3
+    THEN list_distinct([array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks)-2)])
+    ELSE [] END AS sh
+  FROM norm
+),
+bench_sh AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 37 = 0),
+corpus AS (
+  SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS shingle
+  FROM sh WHERE doc_id % 37 <> 0
+),
+allsh AS (SELECT DISTINCT shingle FROM
+  (SELECT shingle FROM bench_sh UNION ALL SELECT shingle FROM corpus)),
+hs AS (SELECT shingle, {hash64('shingle')} AS h FROM allsh),
+bits AS (
+  SELECT DISTINCT CAST((h >> (16*j)) & 65535::HUGEINT AS BIGINT) AS bit
+  FROM bench_sh JOIN hs USING (shingle), range(3) r(j)
+),
+probe AS (
+  SELECT c.doc_id, c.n_shingles, c.shingle, count(*) AS n_set
+  FROM corpus c JOIN hs USING (shingle)
+  CROSS JOIN range(3) r(j)
+  JOIN bits ON bits.bit = CAST((hs.h >> (16*r.j)) & 65535::HUGEINT AS BIGINT)
+  GROUP BY 1, 2, 3
+),
+bloom AS (SELECT doc_id, n_shingles, count(*) AS n_bloom_hits
+          FROM probe WHERE n_set = 3 GROUP BY 1, 2),
+exact AS (SELECT doc_id, count(*) AS n_exact_hits
+          FROM corpus JOIN bench_sh USING (shingle) GROUP BY doc_id)
+SELECT b.doc_id, b.n_shingles, b.n_bloom_hits,
+  coalesce(e.n_exact_hits, 0) AS n_exact_hits
+FROM bloom b LEFT JOIN exact e USING (doc_id)
+ORDER BY doc_id"""
+
+
 ORACLES = {
     "dedup_simhash": gen_dedup_simhash,
     "dedup_minhash_lsh": gen_dedup_minhash_lsh,
@@ -658,6 +733,8 @@ ORACLES = {
     "mm_frame_sample": gen_mm_frame_sample,
     "sketch_kmv_distinct": gen_sketch_kmv,
     "sketch_hll_distinct": gen_sketch_hll,
+    "sketch_countmin_freq": gen_sketch_countmin,
+    "decontam_bloom": gen_decontam_bloom,
     # SQL snippets (not standalone oracles) consumed by oracle SQL
     # assembled in SparkEntry:
     "mm_hash64_text": gen_mm_hash64_text,
