@@ -1292,6 +1292,30 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy(col("lang"))),
 
+    // ======== KG negative sampling (contrastive training input) ====
+
+    // k=2 deterministic corrupted tails per base edge via the
+    // bucket-uniform sampler (no rand(), no global row_number):
+    // bucket from the hash's low 6 bits, intra-bucket rank from the
+    // rest mod bucket size; filtered-negatives discipline drops
+    // accidental true triples — every row a pure function of the edge
+    "kg_negative_sample" -> ((s, dir) => {
+      val dict = graft.fixtures.Fixtures.dict(s)
+      graft.triples.NegativeSample.corruptTails(
+          graft.triples.Triples.baseEdges(s, dict), k = 2, bBits = 6)
+        .orderBy(col("subj"), col("pred"), col("obj"), col("slot"))
+    }),
+
+    // ======== int8 embedding quantization ========
+
+    // max-abs/127 symmetric quantization, exploded to scalar rows for
+    // the cross-engine compare; the float contract (exact max, element
+    // division, explicit HALF_UP floor(x+0.5)) is pinned in scaladoc
+    "embed_quantize_int8" -> ((s, dir) =>
+      graft.ops.Embeddings.quantizeInt8(
+          T(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("id"), col("d"))),
+
     // ======== Bloom-filter decontamination prefilter ========
 
     // same corpus/bench split as decontam_ngram, but membership via a
@@ -2169,6 +2193,84 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS src3,
         |  CAST(sum(CASE WHEN source = 'src4' THEN 1 ELSE 0 END) AS BIGINT) AS src4
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // identical bucket-uniform draw over the fixture base-edge graph:
+    // hash64 recomputed in HUGEINT (via the generated hash64_expr
+    // snippet), ranks ordered by the SIGNED hash to match the JVM
+    "kg_negative_sample" -> {
+      def h64(e: String) = SketchOracles.hash64_expr.replace("__EXPR__", e)
+      s"""WITH pv(pv_code, pv_term, ncit_code) AS (
+         |   SELECT * FROM (VALUES $pvEdgeSqlValues) v(pv_code, pv_term, ncit_code)),
+         | cde(cde_code, cde_term, vdm_code) AS (
+         |   SELECT * FROM (VALUES $cdeVdmSqlValues) v(cde_code, cde_term, vdm_code)),
+         | vdmpv(vdm_code, pv_code) AS (SELECT * FROM (VALUES $vdmPvSqlValues) v(vdm_code, pv_code)),
+         | decoc(cde_code, dec_code, oc_code, oc_term) AS (
+         |   SELECT * FROM (VALUES $decOcSqlValues) v(cde_code, dec_code, oc_code, oc_term)),
+         | decpr(dec_code, pr_code, pr_term, ncit_code) AS (
+         |   SELECT * FROM (VALUES $decPrSqlValues) v(dec_code, pr_code, pr_term, ncit_code)),
+         | ocg(oc_code, ncit_code) AS (SELECT * FROM (VALUES $ocGroundSqlValues) v(oc_code, ncit_code)),
+         | ed AS (
+         |   SELECT DISTINCT subj, pred, obj FROM (
+         |     SELECT pv_code AS subj, 'HAS_CONCEPT' AS pred, ncit_code AS obj FROM pv
+         |     UNION ALL SELECT oc_code, 'HAS_CONCEPT', ncit_code FROM ocg
+         |     UNION ALL SELECT pr_code, 'HAS_CONCEPT', ncit_code FROM decpr
+         |     UNION ALL SELECT cde_code, 'HAS_VDM', vdm_code FROM cde
+         |     UNION ALL SELECT vdm_code, 'HAS_PV', pv_code FROM vdmpv
+         |     UNION ALL SELECT cde_code, 'HAS_DEC', dec_code FROM decoc
+         |     UNION ALL SELECT dec_code, 'HAS_OC', oc_code FROM decoc
+         |     UNION ALL SELECT dec_code, 'HAS_PR', pr_code FROM decpr)),
+         | verts AS (SELECT DISTINCT v FROM
+         |   (SELECT subj AS v FROM ed UNION ALL SELECT obj FROM ed)),
+         | vh AS (SELECT v, ${h64("v")} AS vh FROM verts),
+         | ranked AS (
+         |   SELECT v, CAST(vh & 63::HUGEINT AS BIGINT) AS bucket,
+         |     row_number() OVER (
+         |       PARTITION BY CAST(vh & 63::HUGEINT AS BIGINT)
+         |       ORDER BY (CASE WHEN vh >= 9223372036854775808::HUGEINT
+         |         THEN vh - 18446744073709551616::HUGEINT ELSE vh END), v)
+         |       - 1 AS rank
+         |   FROM vh),
+         | cnts AS (SELECT bucket, count(*) AS cnt FROM ranked GROUP BY bucket),
+         | pstr AS (
+         |   SELECT e.subj, e.pred, e.obj, s.slot,
+         |     e.subj || chr(1) || e.pred || chr(1) || e.obj || chr(1)
+         |       || CAST(s.slot AS VARCHAR) AS pk
+         |   FROM ed e, range(2) s(slot)),
+         | probes AS (
+         |   SELECT subj, pred, obj, CAST(slot AS INT) AS slot,
+         |     ${h64("pk")} AS h
+         |   FROM pstr),
+         | pb AS (SELECT subj, pred, obj, slot,
+         |   CAST(h & 63::HUGEINT AS BIGINT) AS bucket, h FROM probes),
+         | joined AS (
+         |   SELECT p.subj, p.pred, p.obj, p.slot, r.v AS neg_obj
+         |   FROM pb p JOIN cnts c USING (bucket)
+         |   JOIN ranked r ON r.bucket = p.bucket
+         |     AND r.rank = CAST((p.h >> 6) % c.cnt::HUGEINT AS BIGINT))
+         |SELECT subj, pred, obj, neg_obj, slot FROM joined j
+         |WHERE neg_obj <> obj
+         |  AND NOT EXISTS (SELECT 1 FROM ed t
+         |    WHERE t.subj = j.subj AND t.pred = j.pred AND t.obj = j.neg_obj)
+         |ORDER BY subj, pred, obj, slot""".stripMargin
+    },
+
+    // same max-abs/127 scheme, elementwise double math, HALF_UP floor
+    "embed_quantize_int8" ->
+      """WITH sc AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale
+        |  FROM embeddings),
+        | ex AS (
+        |  SELECT id, scale,
+        |    unnest([{'d': i, 'v': vec[i+1]} for i in range(len(vec))]) AS s
+        |  FROM sc)
+        |SELECT id, CAST(s.d AS INT) AS d,
+        |  CASE WHEN scale = 0 THEN 0
+        |       ELSE CAST(greatest(-127, least(127,
+        |         floor(CAST(s.v AS DOUBLE) / scale + 0.5))) AS INT) END AS q,
+        |  floor(scale * 1e6 + 0.5) / 1e6 AS scale6
+        |FROM ex ORDER BY id, d""".stripMargin,
 
     // corpus-wide exact token frequencies, total (n DESC, token) order
     "text_top_terms" ->

@@ -79,6 +79,31 @@ class GraphAlgoSpec extends SparkTestBase {
     assert(rd.values.sum < 1000000000000L)
   }
 
+  test("negative sampling: deterministic, filtered, bounded per edge") {
+    val edges = (1 to 40).map(i =>
+      (s"s${i % 8}", "P", s"o${i % 13}")).distinct.toDF("subj", "pred", "obj")
+    val k = 3
+    val neg1 = graft.triples.NegativeSample.corruptTails(edges, k, bBits = 4)
+      .as[(String, String, String, String, Int)].collect().sorted.toSeq
+    val neg2 = graft.triples.NegativeSample
+      .corruptTails(edges.repartition(5), k, bBits = 4)
+      .as[(String, String, String, String, Int)].collect().sorted.toSeq
+    assert(neg1 == neg2) // pure function of (edge, slot): no rand(), no order
+    assert(neg1.nonEmpty)
+    val trueSet = edges.as[(String, String, String)].collect().toSet
+    val verts = trueSet.flatMap(t => Set(t._1, t._3))
+    neg1.foreach { case (s, p, o, n, slot) =>
+      assert(n != o, "no-op corruption must be filtered")
+      assert(!trueSet((s, p, n)), "accidental true triple must be filtered")
+      assert(verts(n), "corrupted tail must come from the vertex set")
+      assert(slot >= 0 && slot < k)
+    }
+    // bounded: at most k negatives per edge, and draws actually vary
+    val perEdge = neg1.groupBy(t => (t._1, t._2, t._3)).view.mapValues(_.size)
+    assert(perEdge.values.forall(_ <= k))
+    assert(neg1.map(_._4).distinct.size > 3, "draws should spread over vertices")
+  }
+
   test("pagerank: identical output under different input partitioning") {
     val edges = (1 to 60).map(i => (s"n${i % 12}", s"n${(i * 7) % 12}"))
       .filter { case (a, b) => a != b }.toDF("subj", "obj")

@@ -360,6 +360,37 @@ class OpsSpec extends SparkTestBase {
     assert(bloom.get(0L).exists { case (b, e) => b >= 1 && e == 0 })
   }
 
+  test("int8 quantization: known values, zero guard, error bound") {
+    val d = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = graft.ops.Embeddings.quantizeInt8(d, "vec_id", "embedding")
+      .as[(Long, Int, Int, Double)].collect()
+      .map { case (id, dim, qv, s) => (id, dim) -> (qv, s) }.toMap
+    // scale = 1/127; v/scale = v*127; HALF_UP floor(x+0.5):
+    // -63.5 + 0.5 = -63 (rounds toward +inf — pinned, not half-even)
+    assert(q((1L, 0))._1 == 127)
+    assert(q((1L, 1))._1 == -63)
+    assert(q((1L, 2))._1 == 0)
+    assert(q((1L, 3))._1 == 32) // 31.75 -> 32
+    assert(q((2L, 0)) == ((0, 0.0))) // zero vector: guarded division
+    // reconstruction error bound on real fixture-ish data
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, (0 until 16).map(j => ((i * 31 + j * 7) % 41 - 20) / 20.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = graft.ops.Embeddings.quantizeInt8(vecs, "vec_id", "embedding")
+      .as[(Long, Int, Int, Double)].collect()
+    val src = vecs.as[(Long, Seq[Float])].collect().toMap
+    rows.foreach { case (id, dim, qv, _) =>
+      val v = src(id)(dim).toDouble
+      val scale = src(id).map(x => math.abs(x.toDouble)).max / 127.0
+      if (scale > 0)
+        assert(math.abs(qv * scale - v) <= scale / 2 + 1e-12,
+          s"id=$id d=$dim v=$v q=$qv")
+    }
+  }
+
   test("stratified sampling: deterministic, rate-respecting, stratum-scoped") {
     val n = 4000
     val d = (0 until n).map(i => (i.toLong, if (i % 2 == 0) "en" else "xx"))

@@ -723,6 +723,15 @@ FROM bloom b LEFT JOIN exact e USING (doc_id)
 ORDER BY doc_id"""
 
 
+def gen_hash64_expr():
+    """Parameterizable hash64 snippet: callers (SparkEntry oracle
+    assembly) substitute the literal token __EXPR__ with any VARCHAR
+    SQL expression. Result is the UNSIGNED HUGEINT hash in [0, 2^64);
+    wrap in the to-signed CASE when ORDER must match the JVM's signed
+    Long order."""
+    return hash64('__EXPR__')
+
+
 ORACLES = {
     "dedup_simhash": gen_dedup_simhash,
     "dedup_minhash_lsh": gen_dedup_minhash_lsh,
@@ -740,6 +749,7 @@ ORACLES = {
     "mm_hash64_text": gen_mm_hash64_text,
     "mm_hash64_text_h": gen_mm_hash64_text_h,
     "mm_hash64_text_f": gen_mm_hash64_text_f,
+    "hash64_expr": gen_hash64_expr,
 }
 
 SCALA_HEADER = """package graft
