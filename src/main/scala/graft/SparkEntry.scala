@@ -837,22 +837,28 @@ object SparkEntry {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
       import graft.triples.{GraphMerge, Triples}
-      val base = Triples.hasSynonym(s, dict)
+      val hasSyn = Triples.hasSynonym(s, dict).persist()
+      val base = hasSyn
         .unionByName(Triples.baseEdges(s, dict)).as[graft.model.Triple]
+      // persisted: merged twice (merge2 + its replay merge3) — the
+      // sameAs side carries the CC canonical-map lineage
       val derived = Triples.mapsTo(s, dict)
-        .unionByName(Triples.sameAs(prepared.canonical)).as[graft.model.Triple]
-      val overlap = Triples.hasSynonym(s, dict)
+        .unionByName(Triples.sameAs(prepared.canonical))
+        .as[graft.model.Triple].persist()
+      val overlap = hasSyn
         .unionByName(Triples.similarEdges(s, dict, k = 2).drop("score"))
         .as[graft.model.Triple]
-      val verts = Triples.vertices(s, dict, prepared.canonical)
-      val steps = Seq(
+      val verts = Triples.vertices(s, dict, prepared.canonical).persist()
+      val steps = try Seq(
         ("merge1_base_fresh", GraphMerge.mergeEdges(s, out, base)),
         ("merge2_derived_fresh", GraphMerge.mergeEdges(s, out, derived)),
         ("merge3_replay_fresh", GraphMerge.mergeEdges(s, out, derived)),
         ("merge4_overlap_fresh", GraphMerge.mergeEdges(s, out, overlap)),
         ("vmerge1_fresh", GraphMerge.mergeVertices(s, out, verts)),
         ("vmerge2_replay_fresh", GraphMerge.mergeVertices(s, out, verts))
-      )
+      ) finally {
+        hasSyn.unpersist(); derived.unpersist(); verts.unpersist(): Unit
+      }
       // dictionary-version upgrade (ON MATCH SET): C2991 exists ->
       // updated in place; Z9999 is new -> inserted
       val refreshDelta = Seq(

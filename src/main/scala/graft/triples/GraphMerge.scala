@@ -73,24 +73,38 @@ object GraphMerge {
 
   def mergeEdges(spark: SparkSession, dir: String, delta: Dataset[Triple]): Long = {
     val path = s"$dir/edges"
-    val fresh = freshEdges(spark, path, delta)
-    // persist: the count and the write must see the same rows, and
-    // the anti-join must not recompute against a table the write is
-    // concurrently growing
-    fresh.persist()
+    // persist the deduped delta FIRST: its lineage can be expensive
+    // (similarEdges' cosine kNN, the CC canonical map) and is
+    // otherwise re-traversed by each of the preds-collect, the
+    // anti-join, and — on a replay whose fresh set is recomputed —
+    // a third time
+    val dedup = delta.toDF().select("subj", "pred", "obj").distinct().persist()
     try {
-      val n = fresh.count()
-      // small deltas (early batches, fixture tables) collapse to one
-      // task per pred partition instead of shuffle-partition-many
-      // near-empty files — fewer commit round-trips now, no
-      // small-files debt for every later merge's anti-join scan.
-      // Large deltas keep their parallelism.
-      if (n > 0) {
-        val w = if (n < 100000L) fresh.coalesce(1) else fresh
-        w.write.mode("append").partitionBy("pred").parquet(path)
-      }
-      n
-    } finally { fresh.unpersist(): Unit }
+      val fresh =
+        if (!exists(spark, path)) dedup
+        else {
+          val preds = dedup.select("pred").distinct().collect().map(_.getString(0))
+          val existing = spark.read.parquet(path).where(col("pred").isin(preds.toSeq: _*))
+          dedup.join(existing, Seq("subj", "pred", "obj"), "left_anti")
+        }
+      // persist: the count and the write must see the same rows, and
+      // the anti-join must not recompute against a table the write is
+      // concurrently growing
+      fresh.persist()
+      try {
+        val n = fresh.count()
+        // small deltas (early batches, fixture tables) collapse to one
+        // task per pred partition instead of shuffle-partition-many
+        // near-empty files — fewer commit round-trips now, no
+        // small-files debt for every later merge's anti-join scan.
+        // Large deltas keep their parallelism.
+        if (n > 0) {
+          val w = if (n < 100000L) fresh.coalesce(1) else fresh
+          w.write.mode("append").partitionBy("pred").parquet(path)
+        }
+        n
+      } finally { fresh.unpersist(): Unit }
+    } finally { dedup.unpersist(): Unit }
   }
 
   /** Upsert rows of [[Triples.vertices]] shape (code, label, term,
@@ -100,25 +114,28 @@ object GraphMerge {
     * Returns the number of new vertices appended. */
   def mergeVertices(spark: SparkSession, dir: String, delta: DataFrame): Long = {
     val path = s"$dir/vertices"
-    val dedup = delta.dropDuplicates("label", "code")
-    val fresh =
-      if (!exists(spark, path)) dedup
-      else {
-        val labels = dedup.select("label").distinct().collect().map(_.getString(0))
-        val existing = spark.read.parquet(path)
-          .where(col("label").isin(labels.toSeq: _*))
-          .select("label", "code")
-        dedup.join(existing, Seq("label", "code"), "left_anti")
-      }
-    fresh.persist()
+    // same persist-the-delta-first rationale as mergeEdges
+    val dedup = delta.dropDuplicates("label", "code").persist()
     try {
-      val n = fresh.count()
-      if (n > 0) { // same small-delta coalesce as mergeEdges
-        val w = if (n < 100000L) fresh.coalesce(1) else fresh
-        w.write.mode("append").partitionBy("label").parquet(path)
-      }
-      n
-    } finally { fresh.unpersist(): Unit }
+      val fresh =
+        if (!exists(spark, path)) dedup
+        else {
+          val labels = dedup.select("label").distinct().collect().map(_.getString(0))
+          val existing = spark.read.parquet(path)
+            .where(col("label").isin(labels.toSeq: _*))
+            .select("label", "code")
+          dedup.join(existing, Seq("label", "code"), "left_anti")
+        }
+      fresh.persist()
+      try {
+        val n = fresh.count()
+        if (n > 0) { // same small-delta coalesce as mergeEdges
+          val w = if (n < 100000L) fresh.coalesce(1) else fresh
+          w.write.mode("append").partitionBy("label").parquet(path)
+        }
+        n
+      } finally { fresh.unpersist(): Unit }
+    } finally { dedup.unpersist(): Unit }
   }
 
   /** The `ON MATCH SET` half of Neo4j's MERGE — property refresh for
@@ -145,8 +162,15 @@ object GraphMerge {
     }
     val labels = dedup.select("label").distinct().collect().map(_.getString(0))
     val existing = spark.read.parquet(path).where(col("label").isin(labels.toSeq: _*))
-    val updated = existing.join(dedup, Seq("label", "code"), "left_semi").count()
-    val inserted = dedup.count() - updated
+    // one job for both counts: updated = delta keys already present,
+    // inserted = the rest (was two separate count actions)
+    val Array(updated, inserted) = dedup
+      .join(existing.select(col("label"), col("code"), lit(1).as("is_ex")),
+        Seq("label", "code"), "left")
+      .agg(count(col("is_ex")).as("updated"),
+        coalesce(sum(when(col("is_ex").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("inserted"))
+      .first() match { case r => Array(r.getLong(0), r.getLong(1)) }
     val keep = existing.join(dedup.select("label", "code"), Seq("label", "code"), "left_anti")
     val merged = dedup.unionByName(keep.select(dedup.columns.map(col).toSeq: _*))
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/.refresh_tmp")

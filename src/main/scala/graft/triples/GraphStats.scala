@@ -73,7 +73,11 @@ object GraphStats {
       val nodes = fwd.select($"src".as("node"))
         .unionByName(fwd.select($"dst".as("node"))).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val outdeg = fwd.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+      // loop-invariant: attach each src's outdegree to its edges ONCE
+      // (was a per-iteration join — 5 avoidable shuffles at iters=5)
+      val fwdDeg = fwd
+        .join(fwd.groupBy($"src").agg(count(lit(1)).as("outdeg")), "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = nodes.count() // scalar action; node count, never corpus rows
       require(n > 0, "pageRank needs a non-empty graph")
       val r0 = scale / n
@@ -81,9 +85,8 @@ object GraphStats {
       var ranks = nodes.withColumn("r", lit(r0)).localCheckpoint()
       var i = 0
       while (i < iters) {
-        val contrib = fwd
-          .join(ranks, fwd("src") === ranks("node"))
-          .join(outdeg, "src")
+        val contrib = fwdDeg
+          .join(ranks, fwdDeg("src") === ranks("node"))
           .select($"dst".as("node"),
             expr("((r div outdeg) * 85) div 100").as("c"))
           .groupBy($"node").agg(sum($"c").as("c"))
@@ -93,6 +96,7 @@ object GraphStats {
         i += 1
       }
       val out = ranks.select($"node", $"r".as("rank"))
+      fwdDeg.unpersist()
       nodes.unpersist()
       out
     } finally { fwd.unpersist(): Unit }
