@@ -1334,7 +1334,72 @@ object SparkEntry {
         docs.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
         bench = docs.filter(col("doc_id") % 37 === 0),
         n = 3, mBits = 16, k = 3)
-    })
+    }),
+
+    // ======== context-response training pairs (SFT extraction) ====
+
+    // one bounded window pass per conversation — the previous 3 turns
+    // render as "role: text" lines; no self-join, state ≤ 3 lines/row
+    "conv_context_pairs" -> ((s, dir) =>
+      graft.ops.Conversations.contextPairs(transcripts(s, dir), nContext = 3)
+        .orderBy(col("conv_id"), col("turn_idx"))),
+
+    // ======== per-conversation integrity report ========
+
+    // transcript-quality gate: index gaps, broken role alternation,
+    // start-role and tool density — one lag window + one groupBy
+    "conv_integrity" -> ((s, dir) =>
+      graft.ops.Conversations.integrity(transcripts(s, dir))
+        .orderBy(col("conv_id"))),
+
+    // ======== tool-call transition bigrams ========
+
+    // Markov transition counts over each conversation's tool turns
+    // (START sentinel for the first); pair domain is tools² — tiny
+    "tool_transitions" -> ((s, dir) =>
+      graft.ops.Conversations.toolTransitions(transcripts(s, dir))
+        .orderBy(col("prev_tool"), col("next_tool"))),
+
+    // ======== basic-graph-pattern query (Cypher MATCH twin) ========
+
+    // the reference's CDE value-domain + DEC chain as ONE declarative
+    // pattern over the materialized edges: each constant-predicate
+    // pattern is a partition-prunable scan, joins are plain Catalyst
+    // equi-joins on the shared variables
+    "kg_bgp_query" -> ((s, dir) => {
+      val dict = graft.fixtures.Fixtures.dict(s)
+      graft.triples.BgpQuery.query(
+          graft.triples.Triples.baseEdges(s, dict), Seq(
+            ("?cde", "HAS_VDM", "?vdm"), ("?vdm", "HAS_PV", "?pv"),
+            ("?pv", "HAS_CONCEPT", "?ncit"), ("?cde", "HAS_DEC", "?dec")))
+        .orderBy(col("cde"), col("vdm"), col("pv"), col("ncit"), col("dec"))
+    }),
+
+    // ======== transitive closure (ancestors table) ========
+
+    // semi-naive reachability over the directed structural edges —
+    // per-round work ∝ NEW pairs only; the materialized subsumption
+    // closure every KG serving layer precomputes
+    "kg_transitive_closure" -> ((s, dir) => {
+      val dict = graft.fixtures.Fixtures.dict(s)
+      graft.triples.GraphTraverse.closure(s,
+          graft.triples.Triples.baseEdges(s, dict))
+        .orderBy(col("src"), col("dst"))
+    }),
+
+    // ======== epoch-weighted mixture resampling ========
+
+    // fractional-epoch training mix (2.5 epochs of src0, a quarter
+    // pass of src1, ...) — map-only, deterministic Knuth-hash
+    // fractional keep, dyadic weights so the float threshold is
+    // engine-exact
+    "sample_mixture_epochs" -> ((s, dir) =>
+      graft.ops.Sampling.mixtureEpochs(
+          T(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.0),
+          defaultWeight = 0.75)
+        .orderBy(col("doc_id"), col("epoch")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2552,7 +2617,115 @@ object SparkEntry {
         | len(regexp_extract_all(r1,
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
         | len(regexp_extract_all(r2, '\b\d{13,16}\b')) AS n_longnums
-        |FROM s3 ORDER BY doc_id""".stripMargin
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // windowed string_agg evaluates in frame order (idx ASC) — the
+    // exact twin of the bounded collect_list context rendering; the
+    // positional frame is never empty for kept rows because derived
+    // turn_idx is dense from 0 per conversation
+    "conv_context_pairs" ->
+      s"""WITH t AS ($transcriptsSql)
+         |SELECT conv_id, turn_idx,
+         |  string_agg(role || ': ' || text, chr(10)) OVER (
+         |    PARTITION BY conv_id ORDER BY turn_idx
+         |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context,
+         |  text AS response
+         |FROM t
+         |QUALIFY role = 'assistant' AND turn_idx > 0
+         |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "conv_integrity" ->
+      s"""WITH t AS ($transcriptsSql),
+         | lagged AS (
+         |  SELECT *, CASE WHEN lag(role) OVER (
+         |    PARTITION BY conv_id ORDER BY turn_idx) = role
+         |   THEN 1 ELSE 0 END AS role_repeat
+         |  FROM t)
+         |SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_idx,
+         |  max(turn_idx) + 1 - count(*) AS n_gaps,
+         |  CAST(sum(role_repeat) AS BIGINT) AS n_role_repeats,
+         |  coalesce(max(CASE WHEN turn_idx = 0 THEN role END) = 'user',
+         |    false) AS starts_with_user,
+         |  count(tool) AS n_tool_turns,
+         |  count(DISTINCT tool) AS n_distinct_tools
+         |FROM lagged GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+    "tool_transitions" ->
+      s"""WITH t AS ($transcriptsSql),
+         | lagged AS (
+         |  SELECT coalesce(lag(tool) OVER (
+         |    PARTITION BY conv_id ORDER BY turn_idx), 'START') AS prev_tool,
+         |   tool AS next_tool
+         |  FROM t WHERE tool IS NOT NULL)
+         |SELECT prev_tool, next_tool, count(*) AS n
+         |FROM lagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the BGP compiled by hand: one join per shared variable over the
+    // identical fixture edge relations
+    "kg_bgp_query" ->
+      s"""WITH pv(pv_code, pv_term, ncit_code) AS (
+         |   SELECT * FROM (VALUES $pvEdgeSqlValues) v(pv_code, pv_term, ncit_code)),
+         | cde(cde_code, cde_term, vdm_code) AS (
+         |   SELECT * FROM (VALUES $cdeVdmSqlValues) v(cde_code, cde_term, vdm_code)),
+         | vdmpv(vdm_code, pv_code) AS (SELECT * FROM (VALUES $vdmPvSqlValues) v(vdm_code, pv_code)),
+         | decoc(cde_code, dec_code, oc_code, oc_term) AS (
+         |   SELECT * FROM (VALUES $decOcSqlValues) v(cde_code, dec_code, oc_code, oc_term))
+         |SELECT DISTINCT c.cde_code AS cde, c.vdm_code AS vdm,
+         |  vp.pv_code AS pv, p.ncit_code AS ncit, d.dec_code AS dec
+         |FROM cde c
+         |JOIN vdmpv vp ON vp.vdm_code = c.vdm_code
+         |JOIN pv p ON p.pv_code = vp.pv_code
+         |JOIN decoc d ON d.cde_code = c.cde_code
+         |ORDER BY cde, vdm, pv, ncit, dec""".stripMargin,
+
+    // recursive-CTE reachability over the identical directed edge
+    // union Triples.baseEdges builds (no synonym edges)
+    "kg_transitive_closure" ->
+      s"""WITH RECURSIVE
+         | pv(pv_code, pv_term, ncit_code) AS (
+         |   SELECT * FROM (VALUES $pvEdgeSqlValues) v(pv_code, pv_term, ncit_code)),
+         | cde(cde_code, cde_term, vdm_code) AS (
+         |   SELECT * FROM (VALUES $cdeVdmSqlValues) v(cde_code, cde_term, vdm_code)),
+         | vdmpv(vdm_code, pv_code) AS (SELECT * FROM (VALUES $vdmPvSqlValues) v(vdm_code, pv_code)),
+         | decoc(cde_code, dec_code, oc_code, oc_term) AS (
+         |   SELECT * FROM (VALUES $decOcSqlValues) v(cde_code, dec_code, oc_code, oc_term)),
+         | decpr(dec_code, pr_code, pr_term, ncit_code) AS (
+         |   SELECT * FROM (VALUES $decPrSqlValues) v(dec_code, pr_code, pr_term, ncit_code)),
+         | ocg(oc_code, ncit_code) AS (SELECT * FROM (VALUES $ocGroundSqlValues) v(oc_code, ncit_code)),
+         | ed AS (
+         |   SELECT DISTINCT pv_code AS s, ncit_code AS o FROM pv
+         |   UNION SELECT oc_code, ncit_code FROM ocg
+         |   UNION SELECT pr_code, ncit_code FROM decpr
+         |   UNION SELECT cde_code, vdm_code FROM cde
+         |   UNION SELECT vdm_code, pv_code FROM vdmpv
+         |   UNION SELECT cde_code, dec_code FROM decoc
+         |   UNION SELECT dec_code, oc_code FROM decoc
+         |   UNION SELECT dec_code, pr_code FROM decpr),
+         | cl(src, dst) AS (
+         |   SELECT s, o FROM ed WHERE s <> o
+         |   UNION
+         |   SELECT c.src, e.o FROM cl c JOIN ed e ON e.s = c.dst
+         |   WHERE c.src <> e.o)
+         |SELECT src, dst FROM cl ORDER BY src, dst""".stripMargin,
+
+    // identical Knuth-hash fractional-epoch arithmetic; dyadic
+    // weights make every float threshold exact in both engines
+    "sample_mixture_epochs" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5::DOUBLE
+        |      WHEN 'src1' THEN 0.25::DOUBLE WHEN 'src2' THEN 1.0::DOUBLE
+        |      ELSE 0.75::DOUBLE END AS wt
+        |  FROM documents),
+        | c AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(wt) AS INT)
+        |    + CASE WHEN (doc_id * 2654435761) % 4294967296 <
+        |        floor((wt - floor(wt)) * 4294967296) THEN 1 ELSE 0 END AS copies
+        |  FROM w)
+        |SELECT doc_id, source, CAST(unnest(range(copies)) AS INT) AS epoch
+        |FROM c
+        |ORDER BY doc_id, epoch""".stripMargin
   )
 
   /** (label, nCentroids, nProbe, nAssign) — the IVF recall/redundancy

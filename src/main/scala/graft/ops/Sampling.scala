@@ -52,4 +52,36 @@ object Sampling {
       // oracle compare integers, never a float boundary
       .filter(col("bucket") < floor(col("rate") * Mod))
   }
+
+  /** Epoch-weighted mixture resampling — the "repeat high-quality
+    * sources 2.3×, downsample crawl to 0.4×" step of assembling a
+    * training mix. Every row is emitted `⌊w⌋ + [bucket < frac(w)·2³²]`
+    * times with an `epoch` column (0-based copy index), so a weight of
+    * 2.3 means two full passes plus a deterministic 30% third pass —
+    * the standard fractional-epoch semantics, reproducible across
+    * runs/engines/retries because the fractional keep decision is the
+    * same Knuth-hash threshold as [[stratified]] (never `rand()`).
+    *
+    * Scale shape: map-only — per-row copy count from a broadcast
+    * weight literal chain, then a generator expansion (explode); no
+    * shuffle, no driver participation. Weights are validated ≥ 0;
+    * rows whose stratum resolves to copies = 0 disappear (explode of
+    * an empty sequence), which is exactly downsampling.
+    */
+  def mixtureEpochs(docs: DataFrame, idCol: String, strataCol: String,
+                    weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+    require(weights.values.forall(_ >= 0.0) && defaultWeight >= 0.0,
+      s"mixture weights must be >= 0: $weights default=$defaultWeight")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val copies = (floor(w).cast("int")
+      + when(bucket(col(idCol)) < floor((w - floor(w)) * Mod), 1).otherwise(0))
+    docs.withColumn("copies", copies)
+      // guard: sequence(0, -1) would DESCEND in Spark; empty-array
+      // explode is the copies=0 drop
+      .withColumn("epoch", explode(when(col("copies") > 0,
+        sequence(lit(0), col("copies") - 1))))
+      .drop("copies")
+  }
 }

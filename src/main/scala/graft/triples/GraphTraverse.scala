@@ -70,4 +70,49 @@ object GraphTraverse {
       visited
     } finally { adj.unpersist(): Unit }
   }
+
+  /** Transitive closure of a directed edge set — the "materialized
+    * ancestors table" of KG serving (subsumption hierarchies, is-a
+    * chains): every (src, dst) with a directed path src→…→dst of
+    * length ≥ 1. Cycle-safe (self-pairs are dropped; a strongly
+    * connected pair closes in both directions and then stops growing).
+    *
+    * Semi-naive evaluation: each round extends only the LAST round's
+    * new pairs (`delta ⋈ edges`), then anti-joins everything already
+    * known — per-round work is proportional to the NEW pairs, not to
+    * the closure so far, and the round count is the graph's longest
+    * shortest-path (≤ hierarchy depth, single digits for real
+    * ontologies). `localCheckpoint` per round truncates lineage.
+    *
+    * Scale contract: output size is the closure itself — on an n-node,
+    * depth-d hierarchy that is O(n·d), fine at 100 TB; on a dense
+    * cyclic graph it is O(n²) and THIS is the wrong operator (use
+    * [[kHop]] from the nodes actually queried). `maxIters` bounds the
+    * rounds; hitting it raises rather than silently truncating.
+    */
+  def closure(spark: SparkSession, edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    import spark.implicits._
+    val base = edges.select(col("subj").cast("string").as("src"),
+        col("obj").cast("string").as("dst"))
+      .filter($"src" =!= $"dst").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var acc = base.localCheckpoint()
+      var delta = acc
+      var i = 0
+      while (i < maxIters && !delta.isEmpty) {
+        val next = delta.join(base.select($"src".as("dst"), $"dst".as("dst2")), "dst")
+          .select($"src", $"dst2".as("dst")).filter($"src" =!= $"dst")
+          .distinct()
+          .join(acc, Seq("src", "dst"), "left_anti")
+          .localCheckpoint() // truncate per-round lineage
+        if (!next.isEmpty) acc = acc.unionByName(next).localCheckpoint()
+        delta = next
+        i += 1
+      }
+      require(delta.isEmpty,
+        s"closure did not converge in $maxIters rounds — graph deeper than expected")
+      acc
+    } finally { base.unpersist(): Unit }
+  }
 }
