@@ -1387,6 +1387,21 @@ object SparkEntry {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // ======== deterministic random-walk corpus (KG embeddings) ====
+
+    // node2vec/DeepWalk input sequences over the SIMILAR kNN graph:
+    // 2 walks × 4 steps from every node, each step a pure hash
+    // function of the walk identity (no rand()) — the oracle replays
+    // every step from the fixture VALUES with the HUGEINT hash twin
+    "kg_random_walks" -> ((s, dir) => {
+      val dict = graft.fixtures.Fixtures.dict(s)
+      graft.triples.RandomWalks.walks(s,
+          graft.triples.Triples.similarEdges(s, dict, k = 2)
+            .select("subj", "obj"),
+          walksPerNode = 2, walkLen = 4)
+        .orderBy(col("start"), col("walk"), col("step"))
+    }),
+
     // ======== epoch-weighted mixture resampling ========
 
     // fractional-epoch training mix (2.5 epochs of src0, a quarter
@@ -2707,6 +2722,46 @@ object SparkEntry {
          |   SELECT c.src, e.o FROM cl c JOIN ed e ON e.s = c.dst
          |   WHERE c.src <> e.o)
          |SELECT src, dst FROM cl ORDER BY src, dst""".stripMargin,
+
+    // the same kNN graph as graph_pagerank, symmetrized; every walk
+    // step replayed with the HUGEINT hash64 twin over the identical
+    // sorted adjacency lists
+    "kg_random_walks" -> {
+      def h32(e: String) =
+        s"CAST(${SketchOracles.hash64_expr.replace("__EXPR__", e)}" +
+          " & 4294967295::HUGEINT AS BIGINT)"
+      def stepCte(t: Int) =
+        s""",
+           | wk$t AS (
+           |  SELECT w.start, w.walk,
+           |    a.nbrs[${h32(s"concat_ws('|', w.start, w.walk, $t, w.cur)")}
+           |           % len(a.nbrs) + 1] AS cur
+           |  FROM wk${t - 1} w JOIN adj a ON a.src = w.cur)""".stripMargin
+      s"""WITH ncitv(code, vec) AS (SELECT code, vec FROM (VALUES
+         |  $ncitVecSqlValues) v(code, term, vec)),
+         | simranked AS (
+         |  SELECT a.code AS sa, b.code AS sb,
+         |    row_number() OVER (PARTITION BY a.code
+         |      ORDER BY ${duckCosine0("a.vec", "b.vec")} DESC, b.code) AS r
+         |  FROM ncitv a JOIN ncitv b ON a.code <> b.code),
+         | fwd AS (SELECT DISTINCT sa AS src, sb AS dst FROM simranked
+         |         WHERE r <= 2 AND sa <> sb),
+         | und AS (SELECT DISTINCT src, dst FROM (
+         |   SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)
+         |  WHERE src <> dst),
+         | adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs
+         |         FROM und GROUP BY src),
+         | wk0 AS (SELECT src AS start, w AS walk, src AS cur
+         |         FROM adj, (VALUES (0), (1)) ww(w))""".stripMargin +
+        (1 to 4).map(stepCte).mkString +
+        s"""
+           |SELECT start, walk, step, node FROM (
+           |  SELECT start, walk, 0 AS step, cur AS node FROM wk0
+           |${(1 to 4).map(t =>
+              s"  UNION ALL SELECT start, walk, $t, cur FROM wk$t").mkString("\n")}
+           |)
+           |ORDER BY start, walk, step""".stripMargin
+    },
 
     // identical Knuth-hash fractional-epoch arithmetic; dyadic
     // weights make every float threshold exact in both engines

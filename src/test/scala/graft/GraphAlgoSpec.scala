@@ -104,6 +104,31 @@ class GraphAlgoSpec extends SparkTestBase {
     assert(neg1.map(_._4).distinct.size > 3, "draws should spread over vertices")
   }
 
+  test("random walks: valid steps, full length, partitioning-invariant") {
+    val edges = (1 to 40).map(i => (s"n${i % 8}", s"n${(i * 5) % 8}"))
+      .filter { case (a, b) => a != b }.toDF("subj", "obj")
+    val w = graft.triples.RandomWalks.walks(spark, edges,
+        walksPerNode = 2, walkLen = 3)
+      .as[(String, Int, Int, String)].collect()
+    // undirected graph has no sinks: every walk runs the full length
+    val byWalk = w.groupBy(r => (r._1, r._2))
+    assert(byWalk.values.forall(_.length == 4)) // steps 0..3
+    assert(byWalk.values.forall(_.exists(r => r._3 == 0 && r._4 == r._1)))
+    // every consecutive (step t -> t+1) pair is a real undirected edge
+    val und = edges.as[(String, String)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    byWalk.values.foreach { rows =>
+      rows.sortBy(_._3).sliding(2).foreach { case Array(a, b) =>
+        assert(und((a._4, b._4)), s"${a._4}->${b._4} not an edge")
+      }
+    }
+    // deterministic: a different input partitioning replays every step
+    val w2 = graft.triples.RandomWalks.walks(spark, edges.repartition(5),
+        walksPerNode = 2, walkLen = 3)
+      .as[(String, Int, Int, String)].collect()
+    assert(w.sorted.toSeq == w2.sorted.toSeq)
+  }
+
   test("pagerank: identical output under different input partitioning") {
     val edges = (1 to 60).map(i => (s"n${i % 12}", s"n${(i * 7) % 12}"))
       .filter { case (a, b) => a != b }.toDF("subj", "obj")
