@@ -1387,6 +1387,42 @@ object SparkEntry {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // ======== sequence packing (concat-and-chunk) ========
+
+    // fixed-capacity training windows via the TWO-PHASE distributed
+    // prefix sum (range partition → per-partition subtotal → broadcast
+    // offsets + within-partition window) — never a global single-
+    // partition Window.orderBy; offsets are partitioning-independent
+    "pack_sequences" -> ((s, dir) =>
+      graft.ops.Packing.packByOffset(s,
+          T(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", capacity = 2048L)
+        .orderBy(col("doc_id"))),
+
+    // ======== corpus-level duplicated-n-gram fraction ========
+
+    // df-based boilerplate signal: fraction of a doc's distinct
+    // 3-grams found in >1 documents — the cross-document complement
+    // of the per-doc text_repetition signal
+    "text_dup_ngrams" -> ((s, dir) =>
+      graft.ops.TextAnalysis.dupNgramFraction(
+          T(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 1)
+        .orderBy(col("doc_id"))),
+
+    // ======== conversation-level exact dedup ========
+
+    // whole conversations as the dedup unit: order-pinned fingerprint
+    // (sorted (turn_idx, text) structs — collect_list alone has no
+    // ordering guarantee) groups re-ingested transcripts; fixture
+    // duplicates injected for conv_ids ending in '0'
+    "conv_dedup_exact" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      val withDups = t.unionByName(
+        t.filter(col("conv_id").endsWith("0"))
+          .withColumn("conv_id", concat(col("conv_id"), lit("-dup"))))
+      graft.ops.Conversations.dedupExact(withDups).orderBy(col("conv_id"))
+    }),
+
     // ======== deterministic random-walk corpus (KG embeddings) ====
 
     // node2vec/DeepWalk input sequences over the SIMILAR kNN graph:
@@ -2722,6 +2758,69 @@ object SparkEntry {
          |   SELECT c.src, e.o FROM cl c JOIN ed e ON e.s = c.dst
          |   WHERE c.src <> e.o)
          |SELECT src, dst FROM cl ORDER BY src, dst""".stripMargin,
+
+    // the serial single-window prefix sum — the ground truth the
+    // two-phase distributed form must reproduce exactly
+    "pack_sequences" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_offset
+        |  FROM documents)
+        |SELECT doc_id, n_chars, start_offset,
+        |  start_offset // 2048 AS chunk_first,
+        |  (start_offset + n_chars - 1) // 2048 AS chunk_last
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // identical distinct-shingle construction (the decontam_ngram
+    // tokenization), df counted over docs, HALF_UP 4dp fraction
+    "text_dup_ngrams" ->
+      """WITH norm AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        | sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct([array_to_string(toks[i+1:i+3], ' ')
+        |                        for i in range(len(toks)-2)])
+        |    ELSE [] END AS sh
+        |  FROM norm),
+        | occ AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        | freq AS (SELECT shingle, count(*) AS df FROM occ GROUP BY 1)
+        |SELECT o.doc_id, count(*) AS n_ngrams,
+        |  CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  floor(CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1e4 + 0.5) / 1e4 AS dup_fraction
+        |FROM occ o JOIN freq f USING (shingle)
+        |GROUP BY o.doc_id ORDER BY doc_id""".stripMargin,
+
+    // rendered = turn texts in ORDER BY turn_idx (the order-pinned
+    // twin of the sorted-struct collect); hash64 via the HUGEINT
+    // template with the signed two's-complement fold
+    "conv_dedup_exact" -> {
+      val h = SketchOracles.hash64_expr.replace("__EXPR__", "rendered")
+      val signed = s"CAST(list_transform([$h], g -> CASE" +
+        " WHEN g >= 9223372036854775808::HUGEINT" +
+        " THEN g - 18446744073709551616::HUGEINT ELSE g END)[1] AS BIGINT)"
+      s"""WITH t AS ($transcriptsSql),
+         | t2 AS (
+         |  SELECT conv_id, turn_idx, text FROM t
+         |  UNION ALL
+         |  SELECT conv_id || '-dup', turn_idx, text FROM t
+         |  WHERE conv_id LIKE '%0'),
+         | g AS (
+         |  SELECT conv_id, count(*) AS n_turns,
+         |    string_agg(text, chr(10) ORDER BY turn_idx) AS rendered
+         |  FROM t2 GROUP BY conv_id),
+         | h AS (SELECT conv_id, n_turns, $signed AS conv_hash FROM g)
+         |SELECT conv_id, n_turns, conv_hash,
+         |  min(conv_id) OVER (PARTITION BY conv_hash) AS canonical_id,
+         |  count(*) OVER (PARTITION BY conv_hash) AS group_size,
+         |  CAST(conv_id = min(conv_id) OVER (PARTITION BY conv_hash)
+         |    AS INT) AS is_canonical
+         |FROM h ORDER BY conv_id""".stripMargin
+    },
 
     // the same kNN graph as graph_pagerank, symmetrized; every walk
     // step replayed with the HUGEINT hash64 twin over the identical

@@ -95,4 +95,33 @@ object Conversations {
       .groupBy(col("prev_tool"), col("tool").as("next_tool"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Conversation-level exact dedup — whole conversations (not
+    * documents) are the dedup unit for dialogue training data:
+    * re-ingested or mirrored transcripts repeat the entire turn
+    * sequence under a different conv_id. The fingerprint is the
+    * 64-bit hash of the turn texts joined in turn order; the order is
+    * pinned by sorting the collected (turn_idx, text) structs —
+    * `collect_list` alone has NO ordering guarantee under a groupBy,
+    * the classic silent nondeterminism.
+    *
+    * Shapes: one conv-keyed groupBy (agg state = one conversation's
+    * turns, bounded) + one window keyed on the hash (duplicate groups
+    * are tiny). Canonical = lexicographically smallest conv_id of the
+    * group — deterministic under any partitioning.
+    */
+  def dedupExact(turns: DataFrame): DataFrame = {
+    val rendered = array_join(
+      transform(array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+        x => x.getField("text")), "\n")
+    val w = Window.partitionBy(col("conv_hash"))
+    turns.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"), rendered.as("rendered"))
+      .withColumn("conv_hash", graft.Functions.hash64_str(col("rendered")))
+      .withColumn("canonical_id", min(col("conv_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", (col("conv_id") === col("canonical_id")).cast("int"))
+      .select(col("conv_id"), col("n_turns"), col("conv_hash"),
+        col("canonical_id"), col("group_size"), col("is_canonical"))
+  }
 }

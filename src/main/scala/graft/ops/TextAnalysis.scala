@@ -122,4 +122,34 @@ object TextAnalysis {
         r4(col("st.dup_line_frac")).as("dup_line_frac"),
         r4(col("st.dup_line_char_frac")).as("dup_line_char_frac"))
   }
+
+  /** CORPUS-level duplicated-n-gram fraction — the cross-document
+    * complement of [[repetition]] (which sees one doc at a time): per
+    * document, the fraction of its DISTINCT n-grams (word_shingles
+    * dedups within a doc) found in more than `threshold` documents
+    * corpus-wide — i.e. the document-frequency boilerplate signal.
+    * High fractions mark template/mirror documents that per-doc
+    * signals miss (each copy looks clean in isolation). Docs with
+    * fewer than n tokens have no n-grams and are absent.
+    *
+    * Two keyed shuffles: the n-gram frequency groupBy (map-side
+    * partial agg) and the join back. At 100 TB, hash the shingle to
+    * 64 bits before the shuffle (narrow keys; collisions negligible
+    * at these thresholds) or replace the exact count with the
+    * Count-Min sketch ([[Sketches.countMinTable]]) for a map-only
+    * probe — this exact form is the oracle-checkable ground truth.
+    */
+  def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Long = 1): DataFrame = {
+    def r4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+    val occ = docs.select(col(idCol),
+      explode(Functions.word_shingles(col(textCol), n)).as("shingle"))
+    val freq = occ.groupBy(col("shingle")).agg(count(lit(1)).as("corpus_n"))
+    occ.join(freq, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("corpus_n") > threshold, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_fraction",
+        r4(col("n_dup").cast("double") / col("n_ngrams")))
+  }
 }
