@@ -670,6 +670,32 @@ object SparkEntry {
         .orderBy(col("subj"), col("obj"))
     }),
 
+    // entity co-occurrence lift: concepts co-mentioned in the same
+    // 10-turn conversation segment, scored by exact-integer lift
+    // (triples/Cooccurrence — see scaladoc for why the score is a
+    // floor-scaled rational, never a float log). The context key is
+    // the segment, not the whole conversation: fixture conversations
+    // are long enough that every term hits every conversation, which
+    // would degenerate the statistic
+    "kg_cooccur_lift" -> ((s, dir) => {
+      import s.implicits._
+      val ac = s.sparkContext.broadcast(
+        graft.dict.AhoCorasick.build(kgTerms.map(_._2)))
+      val dictDf = kgTerms.toDF("code", "term")
+      val t = transcripts(s, dir)
+      val links = t.select(col("conv_id"), col("turn_idx"), col("text"))
+        .as[(String, Int, String)]
+        .flatMap { case (cid, ti, text) =>
+          ac.value.findMatches(text).map { case (b, e) =>
+            (s"$cid#${ti / 10}", text.substring(b, e).toLowerCase)
+          }
+        }.toDF("seg", "term").distinct()
+        .join(broadcast(dictDf), "term")
+        .select(col("seg").as("conv_id"), col("code"))
+      graft.triples.Cooccurrence.convCooccur(links)
+        .orderBy(col("code_a"), col("code_b"))
+    }),
+
     // connected components (canonicalization kernel) on a derived
     // bipartite edge list — iterative min-label propagation
     "kg_connected_components" -> ((s, dir) => {
@@ -1680,6 +1706,27 @@ object SparkEntry {
          |FROM t, d
          |WHERE len(regexp_extract_all(lower(t.text), '\\b' || d.term || '\\b')) > 0
          |ORDER BY conv_id, turn_idx, code""".stripMargin,
+
+    "kg_cooccur_lift" ->
+      s"""WITH t AS ($transcriptsSql),
+         | d(code, term) AS (SELECT * FROM (VALUES $kgTermsSqlValues) v(code, term)),
+         | links AS (
+         |  SELECT DISTINCT t.conv_id || '#' || CAST(t.turn_idx // 10 AS VARCHAR) AS conv_id, d.code
+         |  FROM t, d
+         |  WHERE len(regexp_extract_all(lower(t.text), '\\b' || d.term || '\\b')) > 0),
+         | na AS (SELECT code, count(*) AS n FROM links GROUP BY code),
+         | nc AS (SELECT count(DISTINCT conv_id) AS n_conv FROM links),
+         | pairs AS (
+         |  SELECT a.code AS code_a, b.code AS code_b, count(*) AS pair_n
+         |  FROM links a JOIN links b ON a.conv_id = b.conv_id AND a.code < b.code
+         |  GROUP BY 1, 2)
+         |SELECT p.code_a, p.code_b, p.pair_n, x.n AS n_a, y.n AS n_b, nc.n_conv,
+         | CAST((1000000 * p.pair_n * nc.n_conv) // (x.n * y.n) AS BIGINT) AS lift_ppm
+         |FROM pairs p
+         |JOIN na x ON p.code_a = x.code
+         |JOIN na y ON p.code_b = y.code
+         |CROSS JOIN nc
+         |ORDER BY code_a, code_b""".stripMargin,
 
     "kg_connected_components" ->
       """WITH RECURSIVE e AS (
