@@ -48,6 +48,28 @@ object SparkEntry {
       |  CASE WHEN doc_id % 3 = 2 THEN 'tool_' || (doc_id % 5) END AS tool
       |FROM documents""".stripMargin
 
+  /** Time-stamped (concept, MENTIONED_IN, conv) triple observations —
+    * one row per (conversation, turn, concept) mention with the turn's
+    * exact epoch seconds; shared by the temporal-scoping queries. */
+  private def mentionObs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ac = s.sparkContext.broadcast(
+      graft.dict.AhoCorasick.build(kgTerms.map(_._2)))
+    val dictDf = kgTerms.toDF("code", "term")
+    transcripts(s, dir)
+      .select(col("conv_id"), col("turn_idx"),
+        unix_timestamp(col("ts")).as("ts_epoch"), col("text"))
+      .as[(String, Int, Long, String)]
+      .flatMap { case (cid, ti, ts, text) =>
+        ac.value.findMatches(text).map { case (b, e) =>
+          (cid, ti, ts, text.substring(b, e).toLowerCase)
+        }
+      }.toDF("conv_id", "turn_idx", "ts_epoch", "term").distinct()
+      .join(broadcast(dictDf), "term")
+      .select(col("code").as("subj"), lit("MENTIONED_IN").as("pred"),
+        col("conv_id").as("obj"), col("ts_epoch"))
+  }
+
   /** Mini KG dictionary over the documents vocabulary for the
     * oracle-checkable mention-detection / entity-link queries. No
     * surface is a word-bounded substring or prefix-sharer of another
@@ -1250,6 +1272,119 @@ object SparkEntry {
       graft.triples.GraphTraverse.kHop(s, edges,
           Seq("CDE2001").toDF("node"), maxHops = 3, directed = false)
         .orderBy($"node")
+    }),
+
+    // ======== weighted shortest paths (min-plus Bellman-Ford) ========
+
+    // multi-hop minimum-cost distances from supplier s1 over the
+    // symmetrized weighted lineitem bipartite graph — semi-naive
+    // relaxation (per-round work ∝ improved frontier); the cost<=8
+    // horizon is applied identically in both engines, so a node is
+    // present iff its TRUE min cost fits the horizon (prefixes of a
+    // shortest walk never exceed its total under non-negative weights)
+    "kg_shortest_path" -> ((s, dir) => {
+      import s.implicits._
+      val e = T(s, dir, "lineitem").select(
+        concat(lit("s"), col("l_suppkey")).as("subj"),
+        concat(lit("p"), col("l_partkey") % 20).as("obj"),
+        (lit(1L) + col("l_partkey") % 3).as("w")).distinct()
+      val und = e.unionByName(
+        e.select(col("obj").as("subj"), col("subj").as("obj"), col("w")))
+      graft.triples.GraphTraverse.shortestPaths(s, und, Seq("s1").toDF("node"))
+        .filter($"cost" <= 8L)
+        .orderBy($"node")
+    }),
+
+    // ======== entity salience per conversation ========
+
+    // which concepts a conversation is ABOUT: fraction of its turns
+    // mentioning the concept (turn presence, not mention frequency),
+    // exact floor-scaled ppm + deterministic per-conv rank
+    "kg_entity_salience" -> ((s, dir) => {
+      import s.implicits._
+      val ac = s.sparkContext.broadcast(
+        graft.dict.AhoCorasick.build(kgTerms.map(_._2)))
+      val dictDf = kgTerms.toDF("code", "term")
+      val t = transcripts(s, dir)
+      val mentions = t.select(col("conv_id"), col("turn_idx"), col("text"))
+        .as[(String, Int, String)]
+        .flatMap { case (cid, ti, text) =>
+          ac.value.findMatches(text).map { case (b, e) =>
+            (cid, ti, text.substring(b, e).toLowerCase)
+          }
+        }.toDF("conv_id", "turn_idx", "term").distinct()
+        .join(broadcast(dictDf), "term")
+        .select(col("conv_id"), col("turn_idx"), col("code"))
+      graft.extract.Salience.perConversation(mentions, t)
+        .orderBy(col("conv_id"), col("rank"))
+    }),
+
+    // ======== temporal scoping of extracted edges ========
+
+    // validity windows for (concept, MENTIONED_IN, conv) edges — exact
+    // epoch-seconds min/max/count per edge identity (timestamps never
+    // cross the compare path as formatted strings)
+    "kg_temporal_edges" -> ((s, dir) => {
+      val obs = mentionObs(s, dir)
+      graft.triples.TemporalScope.scopeEdges(obs)
+        .orderBy(col("subj"), col("obj"))
+    }),
+
+    // the graph AS OF the corpus midpoint, active-only under a
+    // quarter-span staleness horizon — both cutoffs derived in exact
+    // integer arithmetic from the observation stream itself (the
+    // 2-long collect is a 1-row aggregate, never corpus-sized)
+    "kg_graph_asof" -> ((s, dir) => {
+      val obs = mentionObs(s, dir)
+      val r = obs.agg(min(col("ts_epoch")).cast("long"),
+        max(col("ts_epoch")).cast("long")).first()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val mid = (lo + hi) / 2
+      val scoped = graft.triples.TemporalScope.scopeEdges(obs)
+      graft.triples.TemporalScope.asOf(scoped, mid,
+          activeOnly = true, horizon = (hi - lo) / 4)
+        .orderBy(col("subj"), col("obj"))
+    }),
+
+    // ======== triple schema validation (SHACL-lite gate) ========
+
+    // extracted LINKED_TO edges + injected violation rows classified
+    // against a broadcast label map and allowed-signature table —
+    // map-only over the triple stream, verdict is a codegen CASE
+    "kg_schema_validate" -> ((s, dir) => {
+      import s.implicits._
+      val t = transcripts(s, dir)
+      val ac = s.sparkContext.broadcast(
+        graft.dict.AhoCorasick.build(kgTerms.map(_._2)))
+      val dictDf = kgTerms.toDF("code", "term")
+      val linked = t.select(col("conv_id"), col("text"))
+        .as[(String, String)]
+        .flatMap { case (cid, text) =>
+          ac.value.findMatches(text).map { case (b, e) =>
+            (cid, text.substring(b, e).toLowerCase)
+          }
+        }.toDF("conv_id", "term").distinct()
+        .join(broadcast(dictDf), "term")
+        .select(col("code").as("subj"), lit("LINKED_TO").as("pred"),
+          col("conv_id").as("obj"))
+      val bad = Seq(
+        ("K001", "LINKED_TO", "K002"),   // concept->concept: bad_signature
+        ("QX99", "LINKED_TO", "K001"),   // unlabeled subj: unknown_subj
+        ("K002", "LINKED_TO", "zz-none"),// unlabeled obj: unknown_obj
+        ("K003", "RELATED_TO", "K004")   // pred with no signature
+      ).toDF("subj", "pred", "obj")
+      val labels = kgTerms.map(_._1).map((_, "CONCEPT")).toDF("code", "label")
+        .unionByName(t.select(col("conv_id")).distinct()
+          .select(col("conv_id").as("code"), lit("CONV").as("label")))
+      val sigs = Seq(("CONCEPT", "LINKED_TO", "CONV"))
+        .toDF("subj_label", "pred", "obj_label")
+      graft.triples.SchemaValidate.validate(
+          linked.unionByName(bad), labels, sigs)
+        .select(col("subj"), col("pred"), col("obj"),
+          coalesce(col("subj_label"), lit("-")).as("subj_label"),
+          coalesce(col("obj_label"), lit("-")).as("obj_label"),
+          col("verdict"))
+        .orderBy(col("subj"), col("pred"), col("obj"))
     }),
 
     // ======== fixed-point integer PageRank over SIMILAR kNN edges ====
@@ -2484,6 +2619,99 @@ object SparkEntry {
          |   WHERE r.hop < 3)
          |SELECT node, CAST(min(hop) AS INT) AS hop
          |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    // recursive-CTE bounded-cost walk enumeration + min per node — the
+    // naive twin of the semi-naive Bellman-Ford; the cost<=8 horizon
+    // matches the Spark-side filter exactly (see the query comment)
+    "kg_shortest_path" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS src, 'p' || (l_partkey % 20) AS dst,
+        |   CAST(1 + l_partkey % 3 AS BIGINT) AS w FROM lineitem),
+        | und AS (SELECT src, dst, w FROM e UNION SELECT dst, src, w FROM e),
+        | walk(node, cost) AS (
+        |  SELECT 's1', CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT u.dst, w0.cost + u.w FROM walk w0 JOIN und u ON w0.node = u.src
+        |  WHERE w0.cost + u.w <= 8)
+        |SELECT node, min(cost) AS cost FROM walk GROUP BY node
+        |ORDER BY node""".stripMargin,
+
+    "kg_entity_salience" ->
+      s"""WITH t AS ($transcriptsSql),
+         | d(code, term) AS (SELECT * FROM (VALUES $kgTermsSqlValues) v(code, term)),
+         | m AS (
+         |  SELECT DISTINCT t.conv_id, t.turn_idx, d.code FROM t, d
+         |  WHERE len(regexp_extract_all(lower(t.text), '\\b' || d.term || '\\b')) > 0),
+         | mc AS (SELECT conv_id, code, count(*) AS n_mention_turns FROM m GROUP BY 1, 2),
+         | tc AS (SELECT conv_id, count(*) AS n_turns FROM t GROUP BY 1)
+         |SELECT mc.conv_id, mc.code, mc.n_mention_turns, tc.n_turns,
+         | CAST((1000000 * mc.n_mention_turns) // tc.n_turns AS BIGINT) AS salience_ppm,
+         | CAST(row_number() OVER (
+         |   PARTITION BY mc.conv_id
+         |   ORDER BY (1000000 * mc.n_mention_turns) // tc.n_turns DESC, mc.code) AS INT) AS rank
+         |FROM mc JOIN tc USING (conv_id)
+         |ORDER BY conv_id, rank""".stripMargin,
+
+    "kg_temporal_edges" ->
+      s"""WITH tt AS (
+         |  SELECT 'conv-' || source AS conv_id,
+         |   CAST(1704067200 + doc_id AS BIGINT) AS ts_epoch, text FROM documents),
+         | d(code, term) AS (SELECT * FROM (VALUES $kgTermsSqlValues) v(code, term)),
+         | obs AS (
+         |  SELECT DISTINCT d.code AS subj, 'MENTIONED_IN' AS pred,
+         |   tt.conv_id AS obj, tt.ts_epoch
+         |  FROM tt, d
+         |  WHERE len(regexp_extract_all(lower(tt.text), '\\b' || d.term || '\\b')) > 0)
+         |SELECT subj, pred, obj, CAST(min(ts_epoch) AS BIGINT) AS first_seen,
+         | CAST(max(ts_epoch) AS BIGINT) AS last_seen, count(*) AS n_obs
+         |FROM obs GROUP BY 1, 2, 3 ORDER BY subj, obj""".stripMargin,
+
+    "kg_graph_asof" ->
+      s"""WITH tt AS (
+         |  SELECT 'conv-' || source AS conv_id,
+         |   CAST(1704067200 + doc_id AS BIGINT) AS ts_epoch, text FROM documents),
+         | d(code, term) AS (SELECT * FROM (VALUES $kgTermsSqlValues) v(code, term)),
+         | obs AS (
+         |  SELECT DISTINCT d.code AS subj, 'MENTIONED_IN' AS pred,
+         |   tt.conv_id AS obj, tt.ts_epoch
+         |  FROM tt, d
+         |  WHERE len(regexp_extract_all(lower(tt.text), '\\b' || d.term || '\\b')) > 0),
+         | b AS (SELECT min(ts_epoch) AS lo, max(ts_epoch) AS hi FROM obs),
+         | scoped AS (
+         |  SELECT subj, pred, obj, CAST(min(ts_epoch) AS BIGINT) AS first_seen,
+         |   CAST(max(ts_epoch) AS BIGINT) AS last_seen, count(*) AS n_obs
+         |  FROM obs GROUP BY 1, 2, 3)
+         |SELECT s.* FROM scoped s, b
+         |WHERE s.first_seen <= (b.lo + b.hi) // 2
+         |  AND s.last_seen >= (b.lo + b.hi) // 2 - (b.hi - b.lo) // 4
+         |ORDER BY subj, obj""".stripMargin,
+
+    "kg_schema_validate" ->
+      s"""WITH t AS ($transcriptsSql),
+         | d(code, term) AS (SELECT * FROM (VALUES $kgTermsSqlValues) v(code, term)),
+         | linked AS (
+         |  SELECT DISTINCT d.code AS subj, 'LINKED_TO' AS pred, t.conv_id AS obj
+         |  FROM t, d
+         |  WHERE len(regexp_extract_all(lower(t.text), '\\b' || d.term || '\\b')) > 0),
+         | bad(subj, pred, obj) AS (VALUES
+         |  ('K001','LINKED_TO','K002'), ('QX99','LINKED_TO','K001'),
+         |  ('K002','LINKED_TO','zz-none'), ('K003','RELATED_TO','K004')),
+         | tri AS (SELECT * FROM linked UNION ALL SELECT * FROM bad),
+         | labels AS (SELECT code, 'CONCEPT' AS label FROM d
+         |   UNION ALL SELECT DISTINCT conv_id, 'CONV' FROM t),
+         | sigs(subj_label, pred, obj_label) AS (VALUES ('CONCEPT','LINKED_TO','CONV'))
+         |SELECT tri.subj, tri.pred, tri.obj,
+         | coalesce(ls.label, '-') AS subj_label, coalesce(lo.label, '-') AS obj_label,
+         | CASE WHEN ls.label IS NULL THEN 'unknown_subj'
+         |      WHEN lo.label IS NULL THEN 'unknown_obj'
+         |      WHEN sg.subj_label IS NULL THEN 'bad_signature'
+         |      ELSE 'ok' END AS verdict
+         |FROM tri
+         |LEFT JOIN labels ls ON tri.subj = ls.code
+         |LEFT JOIN labels lo ON tri.obj = lo.code
+         |LEFT JOIN sigs sg ON ls.label = sg.subj_label AND tri.pred = sg.pred
+         |  AND lo.label = sg.obj_label
+         |ORDER BY tri.subj, tri.pred, tri.obj""".stripMargin,
 
     // 5 unrolled iterations of the identical integer fixed-point
     // arithmetic over the fixture SIMILAR kNN graph (HUGEINT sums

@@ -71,6 +71,64 @@ object GraphTraverse {
     } finally { adj.unpersist(): Unit }
   }
 
+  /** Single-source (or multi-source) shortest paths over a weighted
+    * directed edge table — distributed Bellman–Ford with semi-naive
+    * (delta-driven) relaxation: each round joins ONLY the nodes whose
+    * distance improved last round against the edge table, takes the
+    * per-node min of the candidate costs, and keeps the rows that beat
+    * the current distance. Weights are integers and all arithmetic is
+    * 64-bit exact, so the result is reduction-order independent and
+    * bit-portable to a SQL oracle (no float accumulation).
+    *
+    * Cycle-safe: a relaxation round can only DECREASE a node's
+    * distance, and non-negative integer costs are bounded below, so
+    * the delta empties in ≤ (longest shortest path in hops) rounds —
+    * the classic Bellman–Ford bound — regardless of cycles.
+    *
+    * 100 TB shape: per round one shuffle join keyed on node + one
+    * node-keyed min-aggregation; work is proportional to the improved
+    * frontier's fan-out, never to all paths. `localCheckpoint` per
+    * round truncates the iterative lineage. `maxIters` bounds the
+    * rounds; hitting it raises rather than returning wrong distances.
+    *
+    * @param edges (subj, obj, w) — w a non-negative integral cost
+    * @param seeds one string column of source nodes (distance 0)
+    * @return (node, cost) — minimum cost from any seed, reachable only
+    */
+  def shortestPaths(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+                    maxIters: Int = 30): DataFrame = {
+    import spark.implicits._
+    val adj = edges.select(col("subj").cast("string").as("src"),
+        col("obj").cast("string").as("dst"), col("w").cast("long").as("w"))
+      .filter($"src" =!= $"dst").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var dist = seeds.select(seeds.columns.head).toDF("node")
+        .distinct().withColumn("cost", lit(0L)).localCheckpoint()
+      var delta = dist
+      var i = 0
+      while (i < maxIters && !delta.isEmpty) {
+        val cand = delta.join(adj, delta("node") === adj("src"))
+          .select($"dst".as("node"), ($"cost" + $"w").as("cost"))
+          .groupBy($"node").agg(min($"cost").as("cost"))
+        val improved = cand.join(dist.select($"node", $"cost".as("cur")),
+            Seq("node"), "left")
+          .filter($"cur".isNull || $"cost" < $"cur")
+          .select($"node", $"cost")
+          .localCheckpoint() // truncate per-round lineage
+        if (!improved.isEmpty) {
+          dist = dist.join(improved.select($"node"), Seq("node"), "left_anti")
+            .unionByName(improved).localCheckpoint()
+        }
+        delta = improved
+        i += 1
+      }
+      require(delta.isEmpty,
+        s"shortestPaths did not converge in $maxIters rounds — raise maxIters")
+      dist
+    } finally { adj.unpersist(): Unit }
+  }
+
   /** Transitive closure of a directed edge set — the "materialized
     * ancestors table" of KG serving (subsumption hierarchies, is-a
     * chains): every (src, dst) with a directed path src→…→dst of
