@@ -70,6 +70,27 @@ object SparkEntry {
         col("conv_id").as("obj"), col("ts_epoch"))
   }
 
+  /** Per-turn linked mentions (conv_id, turn_idx, code, term) —
+    * word-bounded Aho–Corasick detection against the broadcast mini
+    * dictionary; shared by the relation-extraction / coref /
+    * incremental queries. */
+  private def kgMentions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ac = s.sparkContext.broadcast(
+      graft.dict.AhoCorasick.build(kgTerms.map(_._2)))
+    val dictDf = kgTerms.toDF("code", "term")
+    transcripts(s, dir)
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .as[(String, Int, String)]
+      .flatMap { case (cid, ti, text) =>
+        ac.value.findMatches(text).map { case (b, e) =>
+          (cid, ti, text.substring(b, e).toLowerCase)
+        }
+      }.toDF("conv_id", "turn_idx", "term").distinct()
+      .join(broadcast(dictDf), "term")
+      .select(col("conv_id"), col("turn_idx"), col("code"), col("term"))
+  }
+
   /** Mini KG dictionary over the documents vocabulary for the
     * oracle-checkable mention-detection / entity-link queries. No
     * surface is a word-bounded substring or prefix-sharer of another
@@ -1385,6 +1406,66 @@ object SparkEntry {
           coalesce(col("obj_label"), lit("-")).as("obj_label"),
           col("verdict"))
         .orderBy(col("subj"), col("pred"), col("obj"))
+    }),
+
+    // ======== pattern-based relation extraction ========
+
+    // typed predicates mined from connective keywords between two
+    // linked mentions in one turn — candidates come from the detected
+    // mention set (never dictionary² × corpus); acceptance is ONE
+    // regex evaluated identically in both engines
+    "kg_relation_extract" -> ((s, dir) => {
+      import s.implicits._
+      val t = transcripts(s, dir).select(
+        col("conv_id"), col("turn_idx"), col("text"))
+      val patterns = Seq(("fast", "REL_FAST"), ("slow", "REL_SLOW"),
+        ("big", "REL_BIG")).toDF("kw", "pred")
+      graft.extract.RelationExtract
+        .patternRelations(t, kgMentions(s, dir), patterns)
+        .orderBy(col("subj"), col("pred"), col("obj"),
+          col("conv_id"), col("turn_idx"))
+    }),
+
+    // ======== coreference-lite (recency antecedents) ========
+
+    // anaphoric marker turns resolved to the latest earlier anchored
+    // turn in the same conversation — running last-non-null window
+    // under the north-rule's stable (conv_id, turn_idx) order
+    "kg_coref_resolve" -> ((s, dir) => {
+      val t = transcripts(s, dir).select(
+        col("conv_id"), col("turn_idx"), col("text"))
+      val mentions = kgMentions(s, dir)
+        .select(col("conv_id"), col("turn_idx"), col("code"))
+      graft.extract.Coref.resolveMarkers(t, mentions, Seq("the", "a"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    // ======== edge confidence scoring ========
+
+    // 0.7 support + 0.3 recency weighted combine over the temporal
+    // edge table, exact floor-scaled ppm integers end to end
+    "kg_edge_confidence" -> ((s, dir) => {
+      val scoped = graft.triples.TemporalScope.scopeEdges(mentionObs(s, dir))
+      graft.triples.EdgeConfidence.score(scoped)
+        .orderBy(col("subj"), col("obj"))
+    }),
+
+    // ======== incremental canonicalization (delta CC) ========
+
+    // fold a "new day" of merge edges (odd orderkeys) into the
+    // canonical map built from history (even orderkeys) WITHOUT
+    // touching historical edges; the oracle recomputes full CC over
+    // everything — equality proves increment == recompute
+    "kg_incremental_cc" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      def edges(parity: Int) = li
+        .filter(col("l_orderkey") % 2 === parity)
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), pmod(col("l_partkey"), lit(20))).as("dst"))
+        .distinct()
+      val oldMap = graft.canon.ConnectedComponents.runAdaptive(s, edges(0))
+      graft.canon.IncrementalCC.merge(s, oldMap, edges(1))
+        .orderBy(col("node"))
     }),
 
     // ======== fixed-point integer PageRank over SIMILAR kNN edges ====
@@ -2712,6 +2793,95 @@ object SparkEntry {
          |LEFT JOIN sigs sg ON ls.label = sg.subj_label AND tri.pred = sg.pred
          |  AND lo.label = sg.obj_label
          |ORDER BY tri.subj, tri.pred, tri.obj""".stripMargin,
+
+    // the SAME \b…\b.*\b…\b.*\b…\b pattern the Spark side evaluates —
+    // equality is by regex construction, not reimplementation
+    "kg_relation_extract" ->
+      s"""WITH t AS ($transcriptsSql),
+         | d(code, term) AS (SELECT * FROM (VALUES $kgTermsSqlValues) v(code, term)),
+         | p(kw, pred) AS (VALUES ('fast','REL_FAST'), ('slow','REL_SLOW'),
+         |   ('big','REL_BIG')),
+         | m AS (
+         |  SELECT DISTINCT t.conv_id, t.turn_idx, d.code, d.term FROM t, d
+         |  WHERE len(regexp_extract_all(lower(t.text), '\\b' || d.term || '\\b')) > 0)
+         |SELECT m1.code AS subj, p.pred, m2.code AS obj,
+         | m1.conv_id AS conv_id, m1.turn_idx AS turn_idx
+         |FROM m m1
+         |JOIN m m2 ON m1.conv_id = m2.conv_id AND m1.turn_idx = m2.turn_idx
+         |  AND m1.code <> m2.code
+         |JOIN t ON t.conv_id = m1.conv_id AND t.turn_idx = m1.turn_idx
+         |CROSS JOIN p
+         |WHERE regexp_matches(lower(t.text),
+         |  '\\b' || m1.term || '\\b.*\\b' || p.kw || '\\b.*\\b' || m2.term || '\\b')
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "kg_coref_resolve" ->
+      s"""WITH t AS ($transcriptsSql),
+         | d(code, term) AS (SELECT * FROM (VALUES $kgTermsSqlValues) v(code, term)),
+         | m AS (
+         |  SELECT DISTINCT t.conv_id, t.turn_idx, d.code FROM t, d
+         |  WHERE len(regexp_extract_all(lower(t.text), '\\b' || d.term || '\\b')) > 0),
+         | anchor AS (
+         |  SELECT conv_id, turn_idx, min(code) AS turn_code FROM m GROUP BY 1, 2),
+         | rw AS (
+         |  SELECT t.conv_id, t.turn_idx, t.text,
+         |   last_value(a.turn_code IGNORE NULLS) OVER w AS antecedent_code,
+         |   last_value(CASE WHEN a.turn_code IS NOT NULL THEN t.turn_idx END
+         |     IGNORE NULLS) OVER w AS antecedent_turn
+         |  FROM t LEFT JOIN anchor a
+         |    ON t.conv_id = a.conv_id AND t.turn_idx = a.turn_idx
+         |  WINDOW w AS (PARTITION BY t.conv_id ORDER BY t.turn_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT conv_id, turn_idx,
+         | CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 'the'
+         |      WHEN regexp_matches(lower(text), '\\ba\\b') THEN 'a' END AS marker,
+         | antecedent_code, antecedent_turn
+         |FROM rw
+         |WHERE (regexp_matches(lower(text), '\\bthe\\b')
+         |    OR regexp_matches(lower(text), '\\ba\\b'))
+         |  AND antecedent_code IS NOT NULL
+         |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "kg_edge_confidence" ->
+      s"""WITH tt AS (
+         |  SELECT 'conv-' || source AS conv_id,
+         |   CAST(1704067200 + doc_id AS BIGINT) AS ts_epoch, text FROM documents),
+         | d(code, term) AS (SELECT * FROM (VALUES $kgTermsSqlValues) v(code, term)),
+         | obs AS (
+         |  SELECT DISTINCT d.code AS subj, 'MENTIONED_IN' AS pred,
+         |   tt.conv_id AS obj, tt.ts_epoch
+         |  FROM tt, d
+         |  WHERE len(regexp_extract_all(lower(tt.text), '\\b' || d.term || '\\b')) > 0),
+         | scoped AS (
+         |  SELECT subj, pred, obj, CAST(min(ts_epoch) AS BIGINT) AS first_seen,
+         |   CAST(max(ts_epoch) AS BIGINT) AS last_seen, count(*) AS n_obs
+         |  FROM obs GROUP BY 1, 2, 3),
+         | b AS (SELECT min(first_seen) AS lo, max(last_seen) AS hi FROM scoped),
+         | sc AS (
+         |  SELECT s.*,
+         |   CAST((1000000 * least(s.n_obs, 10)) // 10 AS BIGINT) AS support_ppm,
+         |   CAST(CASE WHEN b.hi = b.lo THEN 1000000
+         |    ELSE (1000000 * (s.last_seen - b.lo)) // (b.hi - b.lo) END AS BIGINT)
+         |    AS recency_ppm
+         |  FROM scoped s, b)
+         |SELECT subj, pred, obj, first_seen, last_seen, n_obs,
+         | support_ppm, recency_ppm,
+         | CAST((7 * support_ppm + 3 * recency_ppm) // 10 AS BIGINT) AS conf_ppm
+         |FROM sc ORDER BY subj, obj""".stripMargin,
+
+    // full CC over even ∪ odd edges — the incremental fold must equal
+    // the from-scratch recompute exactly
+    "kg_incremental_cc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS a, 'p' || (l_partkey % 20) AS b
+        |  FROM lineitem),
+        | und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        | reach(n, m) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a WHERE u.b <> r.n)
+        |SELECT n AS node, least(n, min(m)) AS component FROM reach
+        |GROUP BY n ORDER BY node""".stripMargin,
 
     // 5 unrolled iterations of the identical integer fixed-point
     // arithmetic over the fixture SIMILAR kNN graph (HUGEINT sums
