@@ -1680,6 +1680,35 @@ object SparkEntry {
         .orderBy(col("start"), col("walk"), col("step"))
     }),
 
+    // skip-gram (center, context) counts over the same walk corpus —
+    // offset-explode + equi-join (O(rows × window), never per-walk
+    // quadratic); window 2 both sides
+    "kg_skipgram_pairs" -> ((s, dir) => {
+      val dict = graft.fixtures.Fixtures.dict(s)
+      val corpus = graft.triples.RandomWalks.walks(s,
+        graft.triples.Triples.similarEdges(s, dict, k = 2)
+          .select("subj", "obj"),
+        walksPerNode = 2, walkLen = 4)
+      graft.triples.RandomWalks.skipGramPairs(corpus, window = 2)
+        .orderBy(col("center"), col("context"))
+    }),
+
+    // ======== graph snapshot diff ========
+
+    // added/removed/retained classification between the even- and
+    // odd-orderkey edge snapshots — ONE full outer join on the edge
+    // identity, status a null-flag CASE
+    "kg_graph_diff" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      def snap(parity: Int) = li
+        .filter(col("l_orderkey") % 2 === parity)
+        .select(concat(lit("s"), col("l_suppkey")).as("subj"),
+          concat(lit("P"), pmod(col("l_partkey"), lit(3))).as("pred"),
+          concat(lit("p"), pmod(col("l_partkey"), lit(20))).as("obj"))
+      graft.triples.GraphDiff.diff(snap(0), snap(1))
+        .orderBy(col("subj"), col("pred"), col("obj"))
+    }),
+
     // ======== epoch-weighted mixture resampling ========
 
     // fractional-epoch training mix (2.5 epochs of src0, a quarter
@@ -3270,42 +3299,45 @@ object SparkEntry {
     // the same kNN graph as graph_pagerank, symmetrized; every walk
     // step replayed with the HUGEINT hash64 twin over the identical
     // sorted adjacency lists
-    "kg_random_walks" -> {
-      def h32(e: String) =
-        s"CAST(${SketchOracles.hash64_expr.replace("__EXPR__", e)}" +
-          " & 4294967295::HUGEINT AS BIGINT)"
-      def stepCte(t: Int) =
-        s""",
-           | wk$t AS (
-           |  SELECT w.start, w.walk,
-           |    a.nbrs[${h32(s"concat_ws('|', w.start, w.walk, $t, w.cur)")}
-           |           % len(a.nbrs) + 1] AS cur
-           |  FROM wk${t - 1} w JOIN adj a ON a.src = w.cur)""".stripMargin
-      s"""WITH ncitv(code, vec) AS (SELECT code, vec FROM (VALUES
-         |  $ncitVecSqlValues) v(code, term, vec)),
-         | simranked AS (
-         |  SELECT a.code AS sa, b.code AS sb,
-         |    row_number() OVER (PARTITION BY a.code
-         |      ORDER BY ${duckCosine0("a.vec", "b.vec")} DESC, b.code) AS r
-         |  FROM ncitv a JOIN ncitv b ON a.code <> b.code),
-         | fwd AS (SELECT DISTINCT sa AS src, sb AS dst FROM simranked
-         |         WHERE r <= 2 AND sa <> sb),
-         | und AS (SELECT DISTINCT src, dst FROM (
-         |   SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)
-         |  WHERE src <> dst),
-         | adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs
-         |         FROM und GROUP BY src),
-         | wk0 AS (SELECT src AS start, w AS walk, src AS cur
-         |         FROM adj, (VALUES (0), (1)) ww(w))""".stripMargin +
-        (1 to 4).map(stepCte).mkString +
-        s"""
-           |SELECT start, walk, step, node FROM (
-           |  SELECT start, walk, 0 AS step, cur AS node FROM wk0
-           |${(1 to 4).map(t =>
-              s"  UNION ALL SELECT start, walk, $t, cur FROM wk$t").mkString("\n")}
-           |)
-           |ORDER BY start, walk, step""".stripMargin
-    },
+    "kg_random_walks" ->
+      s"""$walkOracleCtes
+         |SELECT start, walk, step, node FROM (
+         |$walkOracleUnion
+         |)
+         |ORDER BY start, walk, step""".stripMargin,
+
+    // band self-join over the replayed corpus — the naive twin of the
+    // Spark side's offset-explode + equi-join
+    "kg_skipgram_pairs" ->
+      s"""$walkOracleCtes,
+         | corpus AS (
+         |$walkOracleUnion
+         | ),
+         | pairs AS (
+         |  SELECT c1.node AS center, c2.node AS context
+         |  FROM corpus c1 JOIN corpus c2
+         |    ON c1.start = c2.start AND c1.walk = c2.walk
+         |   AND c2.step BETWEEN c1.step - 2 AND c1.step + 2
+         |   AND c1.step <> c2.step)
+         |SELECT center, context, count(*) AS n_pairs
+         |FROM pairs GROUP BY 1, 2
+         |ORDER BY center, context""".stripMargin,
+
+    "kg_graph_diff" ->
+      """WITH b AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS subj, 'P' || (l_partkey % 3) AS pred,
+        |   'p' || (l_partkey % 20) AS obj, 1 AS in_before
+        |  FROM lineitem WHERE l_orderkey % 2 = 0),
+        | a AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS subj, 'P' || (l_partkey % 3) AS pred,
+        |   'p' || (l_partkey % 20) AS obj, 1 AS in_after
+        |  FROM lineitem WHERE l_orderkey % 2 = 1)
+        |SELECT subj, pred, obj,
+        | CASE WHEN in_before IS NULL THEN 'added'
+        |      WHEN in_after IS NULL THEN 'removed'
+        |      ELSE 'retained' END AS status
+        |FROM b FULL OUTER JOIN a USING (subj, pred, obj)
+        |ORDER BY subj, pred, obj""".stripMargin,
 
     // identical Knuth-hash fractional-epoch arithmetic; dyadic
     // weights make every float threshold exact in both engines
@@ -3326,6 +3358,44 @@ object SparkEntry {
         |FROM c
         |ORDER BY doc_id, epoch""".stripMargin
   )
+
+  /** The replayed deterministic walk corpus (wk0..wk4 CTE chain over
+    * the SIMILAR kNN fixture graph) — shared by the kg_random_walks
+    * and kg_skipgram_pairs oracles. */
+  private lazy val walkOracleCtes: String = {
+    def h32(e: String) =
+      s"CAST(${SketchOracles.hash64_expr.replace("__EXPR__", e)}" +
+        " & 4294967295::HUGEINT AS BIGINT)"
+    def stepCte(t: Int) =
+      s""",
+         | wk$t AS (
+         |  SELECT w.start, w.walk,
+         |    a.nbrs[${h32(s"concat_ws('|', w.start, w.walk, $t, w.cur)")}
+         |           % len(a.nbrs) + 1] AS cur
+         |  FROM wk${t - 1} w JOIN adj a ON a.src = w.cur)""".stripMargin
+    s"""WITH ncitv(code, vec) AS (SELECT code, vec FROM (VALUES
+       |  $ncitVecSqlValues) v(code, term, vec)),
+       | simranked AS (
+       |  SELECT a.code AS sa, b.code AS sb,
+       |    row_number() OVER (PARTITION BY a.code
+       |      ORDER BY ${duckCosine0("a.vec", "b.vec")} DESC, b.code) AS r
+       |  FROM ncitv a JOIN ncitv b ON a.code <> b.code),
+       | fwd AS (SELECT DISTINCT sa AS src, sb AS dst FROM simranked
+       |         WHERE r <= 2 AND sa <> sb),
+       | und AS (SELECT DISTINCT src, dst FROM (
+       |   SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)
+       |  WHERE src <> dst),
+       | adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs
+       |         FROM und GROUP BY src),
+       | wk0 AS (SELECT src AS start, w AS walk, src AS cur
+       |         FROM adj, (VALUES (0), (1)) ww(w))""".stripMargin +
+      (1 to 4).map(stepCte).mkString
+  }
+
+  private lazy val walkOracleUnion: String =
+    "  SELECT start, walk, 0 AS step, cur AS node FROM wk0\n" +
+      (1 to 4).map(t =>
+        s"  UNION ALL SELECT start, walk, $t, cur FROM wk$t").mkString("\n")
 
   /** (label, nCentroids, nProbe, nAssign) — the IVF recall/redundancy
     * dial pinned by ann_ivf_recall. */

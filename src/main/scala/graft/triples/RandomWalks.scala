@@ -70,4 +70,40 @@ object RandomWalks {
       out.select($"start", $"walk", $"step", $"cur".as("node"))
     } finally { adj.unpersist(): Unit }
   }
+
+  /** Skip-gram (center, context) co-occurrence counts over a walk
+    * corpus — the final corpus-side step before embedding training:
+    * each walk is a "sentence", each pair of nodes within `window`
+    * steps of each other is one training co-occurrence.
+    *
+    * Built as an offset-explode + equi-join, NOT a self-join with an
+    * |Δstep| ≤ w band predicate: each walk row fans out to exactly 2w
+    * (offset, expected-step) probes joined back on the full (start,
+    * walk, step) key — work is O(rows × window) regardless of walk
+    * length, where the band self-join degenerates to per-walk
+    * quadratic comparison and (on range-join-less engines) a skew
+    * hazard on the (start, walk) key alone. Out-of-range probes
+    * (before step 0 / past the walk end) drop out of the inner join
+    * naturally.
+    *
+    * @param walkRows (start, walk, step, node) — [[walks]] output
+    * @param window   max |step distance| counted as context (≥ 1)
+    * @return (center, context, n_pairs) — directional (both orders
+    *         emitted, as skip-gram training consumes them)
+    */
+  def skipGramPairs(walkRows: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = walkRows.select(col("start"), col("walk"),
+      col("step").cast("int").as("step"), col("node"))
+    val offsets = (-window to window).filter(_ != 0)
+    val probes = w
+      .withColumn("off", explode(lit(offsets.toArray)))
+      .select(col("start"), col("walk"),
+        (col("step") + col("off")).as("step"), col("node").as("center"))
+    probes
+      .join(w.withColumnRenamed("node", "context"),
+        Seq("start", "walk", "step"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -75,6 +75,55 @@ class TripleOpsSpec extends SparkTestBase {
     assert(SchemaValidate.violations(tri, labels, sigs).count() == 4L)
   }
 
+  // --- skip-gram pairs ---
+  test("skipGramPairs counts within-window ordered pairs per walk") {
+    // one 4-node walk a-b-c-d, window 1: adjacent pairs only, both
+    // directions; (a,c) etc. excluded
+    val corpus = Seq(
+      ("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c"), ("a", 0, 3, "d")
+    ).toDF("start", "walk", "step", "node")
+    val out = graft.triples.RandomWalks.skipGramPairs(corpus, window = 1)
+      .as[(String, String, Long)].collect()
+      .map { case (c, x, n) => (c, x) -> n }.toMap
+    assert(out == Map(
+      ("a", "b") -> 1L, ("b", "a") -> 1L, ("b", "c") -> 1L,
+      ("c", "b") -> 1L, ("c", "d") -> 1L, ("d", "c") -> 1L))
+  }
+
+  test("skipGramPairs never pairs across walks and window 2 reaches 2 steps") {
+    val corpus = Seq(
+      ("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c"),
+      ("z", 1, 0, "z"), ("z", 1, 1, "a") // separate walk reusing node a
+    ).toDF("start", "walk", "step", "node")
+    val out = graft.triples.RandomWalks.skipGramPairs(corpus, window = 2)
+      .as[(String, String, Long)].collect()
+      .map { case (c, x, n) => (c, x) -> n }.toMap
+    assert(out(("a", "c")) == 1L)          // distance 2 included
+    assert(out(("a", "b")) == 1L)          // a->b only in walk 0
+    assert(out(("z", "a")) == 1L)          // within walk 1
+    assert(!out.contains(("b", "z")))      // never across walks
+  }
+
+  // --- graph diff ---
+  test("diff classifies added/removed/retained on the edge identity") {
+    val before = Seq(("a", "P", "x"), ("a", "P", "y"), ("b", "Q", "z"))
+      .toDF("subj", "pred", "obj")
+    val after = Seq(("a", "P", "x"), ("c", "P", "w"))
+      .toDF("subj", "pred", "obj")
+    val out = graft.triples.GraphDiff.diff(before, after)
+      .as[(String, String, String, String)].collect()
+      .map { case (s0, p, o, st) => (s0, p, o) -> st }.toMap
+    assert(out == Map(
+      ("a", "P", "x") -> "retained",
+      ("a", "P", "y") -> "removed",
+      ("b", "Q", "z") -> "removed",
+      ("c", "P", "w") -> "added"))
+    val sum = graft.triples.GraphDiff.summary(before, after)
+      .as[(String, String, Long)].collect().toSet
+    assert(sum == Set(("P", "retained", 1L), ("P", "removed", 1L),
+      ("Q", "removed", 1L), ("P", "added", 1L)))
+  }
+
   // --- salience ---
   test("perConversation scores turn presence over ALL turns, ranks deterministically") {
     // conv c1 has 4 turns (one mention-free); A in 2 turns (one turn
