@@ -64,6 +64,19 @@ object Functions {
     * the JVM without reimplementing its UTF8String layout hashing. */
   def hash64_str(text: Column): Column = column(Hash64Str(expression(text)))
 
+  /** RLIKE with a per-task compiled-pattern cache — for non-foldable
+    * pattern columns over a small pattern domain (Spark's `RLike`
+    * recompiles per row when the pattern isn't a literal). */
+  def rlike_cached(text: Column, pattern: Column): Column =
+    column(graft.functions.RegexLikeCached(
+      expression(text), expression(pattern)))
+
+  /** Ordered word-bounded containment: text has occurrences of every
+    * part in order — the linear-scan twin of `\bp₁\b.*\bp₂\b…`. */
+  def ordered_terms(text: Column, parts: Column): Column =
+    column(graft.functions.OrderedTerms(
+      expression(text), expression(parts)))
+
   /** Hamming distance between two 64-bit SimHashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

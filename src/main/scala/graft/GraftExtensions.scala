@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DocFingerprint, Hash64Str, HashEmbed, MinHashSig, RepetitionStats, SimHash64, Vectorizer, WordShingles}
+import graft.functions.{CosineSimilarity, DocFingerprint, Hash64Str, HashEmbed, MinHashSig, OrderedTerms, RegexLikeCached, RepetitionStats, SimHash64, Vectorizer, WordShingles}
 
 /** `spark.sql.extensions` entry point: registers graft's native
   * Catalyst expressions as SQL functions at session build time —
@@ -95,5 +95,15 @@ object GraftExtensions {
       case Seq(t)    => HashEmbed(t, Vectorizer.DefaultDim)
       case Seq(t, d) => HashEmbed(t, intLit("hash_embed", "dim", d))
       case other     => arity("hash_embed", "1 or 2", other.size)
+    },
+    entry("rlike_cached", classOf[RegexLikeCached],
+      "_FUNC_(text, pattern) - RLIKE with a per-task compiled-pattern cache for non-foldable small-domain patterns") {
+      case Seq(t, p) => RegexLikeCached(t, p)
+      case other     => arity("rlike_cached", "2", other.size)
+    },
+    entry("ordered_terms", classOf[OrderedTerms],
+      "_FUNC_(text, array(p1..pn)) - true iff text contains word-bounded occurrences of p1..pn in order") {
+      case Seq(t, p) => OrderedTerms(t, p)
+      case other     => arity("ordered_terms", "2", other.size)
     })
 }

@@ -74,6 +74,9 @@ object SparkEntry {
     * word-bounded Aho–Corasick detection against the broadcast mini
     * dictionary; shared by the relation-extraction / coref /
     * incremental queries. */
+  private[graft] def testKgMentions(s: SparkSession, dir: String): DataFrame =
+    kgMentions(s, dir)
+
   private def kgMentions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ac = s.sparkContext.broadcast(

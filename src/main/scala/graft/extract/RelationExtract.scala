@@ -57,9 +57,14 @@ object RelationExtract {
       .join(turns.select(col("conv_id"), col("turn_idx"), col("text")),
         Seq("conv_id", "turn_idx"))
       .crossJoin(broadcast(patterns.select(col("kw"), col("pred"))))
-      .filter(regexp_like(lower(col("text")),
-        concat(lit("\\b"), col("t1"), lit("\\b.*\\b"), col("kw"),
-          lit("\\b.*\\b"), col("t2"), lit("\\b"))))
+      // ordered_terms is the linear-scan twin of the
+      // \bt₁\b.*\bkw\b.*\bt₂\b regex the oracle evaluates (the regex's
+      // .* backtracking is O(n²) per candidate and dominated this
+      // operator's cost at sf0.1); greedy leftmost occurrences are
+      // complete for existence, so the two are semantically equal
+      // (parity property-tested in FunctionsSpec)
+      .filter(graft.Functions.ordered_terms(lower(col("text")),
+        array(col("t1"), col("kw"), col("t2"))))
       .select(col("subj"), col("pred"), col("obj"),
         col("conv_id"), col("turn_idx"))
   }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -144,6 +144,103 @@ case class RepetitionStats(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
   override def prettyName: String = "repetition_stats"
+}
+
+/** rlike_cached(text, pattern): RLIKE for NON-FOLDABLE pattern
+  * columns drawn from a SMALL domain. Spark's own `RLike` compiles
+  * the regex per ROW when the pattern isn't a literal — for a
+  * pattern-table join (relation extraction: |dict|² × |keywords|
+  * distinct patterns over millions of candidate rows) that is >95%
+  * of the operator's cost. This twin keeps a per-task compiled-
+  * pattern cache (the expression deserializes per task, so the map
+  * is task-local — no sharing, no locks) and matches `RLike`'s
+  * semantics exactly (`Pattern.matcher(str).find(0)`).
+  *
+  * The cache clears if it ever exceeds [[RegexLikeCached.MaxCache]]
+  * distinct patterns — a task fed genuinely unbounded pattern
+  * strings degrades to compile-per-row instead of leaking memory. */
+case class RegexLikeCached(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"rlike_cached expects (string, string), got (${l.catalogString}, ${r.catalogString})")
+    }
+  @transient private lazy val cache =
+    new java.util.HashMap[String, java.util.regex.Pattern]()
+  override protected def nullSafeEval(text: Any, pattern: Any): Any = {
+    val ps = pattern.asInstanceOf[UTF8String].toString
+    var p = cache.get(ps)
+    if (p == null) {
+      if (cache.size >= RegexLikeCached.MaxCache) cache.clear()
+      p = java.util.regex.Pattern.compile(ps)
+      cache.put(ps, p)
+    }
+    p.matcher(text.asInstanceOf[UTF8String].toString).find(0)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): RegexLikeCached = copy(left = l, right = r)
+  override def prettyName: String = "rlike_cached"
+}
+
+object RegexLikeCached {
+  val MaxCache = 10000
+}
+
+/** ordered_terms(text, array(p₁..pₙ)): true iff text contains
+  * word-bounded occurrences of p₁..pₙ in order (occurrence i+1 starts
+  * at or after the end of occurrence i) — the linear-scan equivalent
+  * of `\bp₁\b.*\bp₂\b…` whose backtracking makes the regex O(n²) per
+  * candidate (measured >70% of relation-extraction cost at sf0.1).
+  * Greedy leftmost occurrences are complete for existence: the first
+  * occurrence of pᵢ ends earliest, so any witness sequence can be
+  * shifted left part by part. Word boundary = regex `\b`:
+  * [a-zA-Z0-9_] on one side only. */
+case class OrderedTerms(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ordered_terms expects (string, array<string>), got (${l.catalogString}, ${r.catalogString})")
+    }
+  @inline private def w(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+  private def findBounded(text: String, from: Int, term: String): Int = {
+    if (term.isEmpty) return from // parts are never empty in practice
+    var i = text.indexOf(term, from)
+    while (i >= 0) {
+      // \b = XOR of word-ness across the edge (string edges non-word)
+      val okL = (i > 0 && w(text.charAt(i - 1))) != w(term.charAt(0))
+      val e = i + term.length
+      val okR = (e < text.length && w(text.charAt(e))) != w(term.charAt(term.length - 1))
+      if (okL && okR) return i
+      i = text.indexOf(term, i + 1)
+    }
+    -1
+  }
+  override protected def nullSafeEval(text: Any, parts: Any): Any = {
+    val t = text.asInstanceOf[UTF8String].toString
+    val arr = parts.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var pos = 0
+    var k = 0
+    while (k < arr.numElements()) {
+      if (arr.isNullAt(k)) return null
+      val p = arr.getUTF8String(k).toString
+      val i = findBounded(t, pos, p)
+      if (i < 0) return false
+      pos = i + p.length
+      k += 1
+    }
+    true
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): OrderedTerms = copy(left = l, right = r)
+  override def prettyName: String = "ordered_terms"
 }
 
 /** doc_fingerprint(text): order-sensitive polynomial rolling hash. */

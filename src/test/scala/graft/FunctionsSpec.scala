@@ -115,6 +115,46 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("rlike_cached matches Spark's rlike on every (text, pattern) pair incl nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val texts = Seq("spark runs fast on batch", "sparkly faster", "", null)
+    val pats = Seq("\\bspark\\b.*\\bfast\\b", "\\bfast\\b", "^$", "spark")
+    val rows = for (t <- texts; p <- pats) yield (t, p)
+    val df = rows.toDF("t", "p")
+    val out = df.select(
+        Functions.rlike_cached(col("t"), col("p")).as("cached"),
+        expr("t rlike p").as("native"))
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getBoolean(0) == r.getBoolean(1))
+    }
+  }
+
+  test("ordered_terms equals the \\b..\\b.*\\b..\\b regex on a random word grid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col, concat, lit, lower}
+    val vocab = Seq("spark", "data", "table", "fast", "big", "x1")
+    val rnd = new scala.util.Random(42)
+    val texts = (0 until 300).map(_ =>
+      (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")) ++
+      Seq("sparkly fast data", "data tablefast spark", "", "spark fast spark")
+    val parts = Seq(("spark", "fast", "data"), ("data table", "fast", "spark"),
+      ("fast", "fast", "fast"), ("x1", "big", "table"))
+    val rows = for (t <- texts; (a, b, c) <- parts) yield (t, a, b, c)
+    val out = rows.toDF("t", "a", "b", "c").select(
+        Functions.ordered_terms(lower(col("t")),
+          array(col("a"), col("b"), col("c"))).as("scan"),
+        lower(col("t")).rlike("").as("dummy"),
+        org.apache.spark.sql.functions.expr(
+          "lower(t) rlike concat('\\\\b', a, '\\\\b.*\\\\b', b, '\\\\b.*\\\\b', c, '\\\\b')")
+          .as("re"))
+      .collect()
+    out.foreach(r => assert(r.getBoolean(0) == r.getBoolean(2)))
+  }
+
   test("simhash/minhash behave as similarity sketches") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"
     val b = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
