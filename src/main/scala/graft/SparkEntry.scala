@@ -107,6 +107,19 @@ object SparkEntry {
   private val kgTermsSqlValues: String =
     kgTerms.map { case (c, t) => s"('$c','$t')" }.mkString(", ")
 
+  /** Child → parent is-a edges over the mini dictionary (two internal
+    * categories + a root) — shared by kg_hierarchy_rollup and its
+    * oracle. */
+  private val kgIsaEdges: Seq[(String, String)] = Seq(
+    ("K002", "K100"), ("K003", "K100"), ("K004", "K100"),
+    ("K005", "K101"), ("K008", "K101"),
+    ("K100", "K999"), ("K101", "K999"),
+    ("K001", "K999"), ("K006", "K999"), ("K007", "K999"),
+    ("K009", "K999"), ("K010", "K999"))
+
+  private val kgIsaSqlValues: String =
+    kgIsaEdges.map { case (c, p) => s"('$c','$p')" }.mkString(", ")
+
   /** Shared by the kg_semantic_definition query AND its oracle. */
   private val semanticDefQueries: Seq[(String, String)] = Seq(
     ("q1", "persistently high blood pressure"),
@@ -1630,6 +1643,22 @@ object SparkEntry {
       graft.triples.GraphTraverse.closure(s,
           graft.triples.Triples.baseEdges(s, dict))
         .orderBy(col("src"), col("dst"))
+    }),
+
+    // ======== ontology hierarchy rollup ========
+
+    // per-concept mention-turn counts aggregated up the is-a DAG:
+    // every ancestor carries its subtree total (the precomputed
+    // subsumption aggregate the reference answers with per-query
+    // Cypher traversals); the ancestors table is ontology-sized, the
+    // corpus is touched only by the direct-count aggregation
+    "kg_hierarchy_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val direct = kgMentions(s, dir)
+        .groupBy(col("code")).agg(count(lit(1)).as("n_direct"))
+      graft.triples.Hierarchy.rollupCounts(s,
+          kgIsaEdges.toDF("subj", "obj"), direct)
+        .orderBy(col("code"))
     }),
 
     // ======== sequence packing (concat-and-chunk) ========
@@ -3341,6 +3370,33 @@ object SparkEntry {
         |      ELSE 'retained' END AS status
         |FROM b FULL OUTER JOIN a USING (subj, pred, obj)
         |ORDER BY subj, pred, obj""".stripMargin,
+
+    // recursive-CTE ancestor closure + the same contribute-to-every-
+    // ancestor-and-self aggregation
+    "kg_hierarchy_rollup" ->
+      s"""WITH RECURSIVE t AS ($transcriptsSql),
+         | d(code, term) AS (SELECT * FROM (VALUES $kgTermsSqlValues) v(code, term)),
+         | isa(c, p) AS (SELECT * FROM (VALUES $kgIsaSqlValues) v(c, p)),
+         | m AS (
+         |  SELECT DISTINCT t.conv_id, t.turn_idx, d.code FROM t, d
+         |  WHERE len(regexp_extract_all(lower(t.text), '\\b' || d.term || '\\b')) > 0),
+         | direct AS (SELECT code, count(*) AS n_direct FROM m GROUP BY 1),
+         | cl(src, dst) AS (
+         |  SELECT c, p FROM isa
+         |  UNION
+         |  SELECT cl.src, isa.p FROM cl JOIN isa ON cl.dst = isa.c),
+         | nodes AS (SELECT c AS code FROM isa UNION SELECT p FROM isa),
+         | contrib AS (
+         |  SELECT src AS code, dst AS anc FROM cl
+         |  UNION ALL SELECT code, code FROM nodes),
+         | roll AS (
+         |  SELECT contrib.anc, sum(coalesce(direct.n_direct, 0)) AS n_rollup
+         |  FROM contrib LEFT JOIN direct USING (code) GROUP BY 1)
+         |SELECT roll.anc AS code,
+         | CAST(coalesce(d2.n_direct, 0) AS BIGINT) AS n_direct,
+         | CAST(roll.n_rollup AS BIGINT) AS n_rollup
+         |FROM roll LEFT JOIN direct d2 ON roll.anc = d2.code
+         |ORDER BY code""".stripMargin,
 
     // identical Knuth-hash fractional-epoch arithmetic; dyadic
     // weights make every float threshold exact in both engines

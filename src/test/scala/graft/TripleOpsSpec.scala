@@ -124,6 +124,26 @@ class TripleOpsSpec extends SparkTestBase {
       ("Q", "removed", 1L), ("P", "added", 1L)))
   }
 
+  // --- hierarchy rollup ---
+  test("rollupCounts sums each subtree once, diamond paths not double-counted") {
+    //      root
+    //     /    \
+    //    a      b     leaf x is-a BOTH a and b (diamond): its count
+    //     \    /      reaches root exactly once
+    //       x
+    val isa = Seq(("x", "a"), ("x", "b"), ("a", "root"), ("b", "root"))
+      .toDF("subj", "obj")
+    val direct = Seq(("x", 5L), ("a", 2L), ("root", 1L))
+      .toDF("code", "n_direct")
+    val out = graft.triples.Hierarchy.rollupCounts(spark, isa, direct)
+      .as[(String, Long, Long)].collect()
+      .map { case (c, d, r) => c -> ((d, r)) }.toMap
+    assert(out("x") == ((5L, 5L)))
+    assert(out("a") == ((2L, 7L)))       // own 2 + x's 5
+    assert(out("b") == ((0L, 5L)))       // no direct count of its own
+    assert(out("root") == ((1L, 8L)))    // 1 + 2 + 5: x once, not twice
+  }
+
   // --- salience ---
   test("perConversation scores turn presence over ALL turns, ranks deterministically") {
     // conv c1 has 4 turns (one mention-free); A in 2 turns (one turn
