@@ -120,6 +120,20 @@ object SparkEntry {
   private val kgIsaSqlValues: String =
     kgIsaEdges.map { case (c, p) => s"('$c','$p')" }.mkString(", ")
 
+  /** Recursive-CTE connected-components ground truth — shared by the
+    * adaptive-dispatch AND forced-distributed catalog entries (both
+    * honor the same component = min-reachable-node contract). */
+  private val ccOracleSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT 's' || l_suppkey AS a, 'p' || (l_partkey % 20) AS b FROM lineitem),
+      | und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      | reach(n, m) AS (
+      |  SELECT a, b FROM und
+      |  UNION
+      |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a WHERE u.b <> r.n)
+      |SELECT n AS node, least(n, min(m)) AS component FROM reach
+      |GROUP BY n ORDER BY node""".stripMargin
+
   /** Shared by the kg_semantic_definition query AND its oracle. */
   private val semanticDefQueries: Seq[(String, String)] = Seq(
     ("q1", "persistently high blood pressure"),
@@ -756,13 +770,31 @@ object SparkEntry {
     }),
 
     // connected components (canonicalization kernel) on a derived
-    // bipartite edge list — iterative min-label propagation
+    // bipartite edge list — the PRODUCTION dispatch (runAdaptive):
+    // driver union-find below the edge threshold (one job instead of
+    // ~6-10 jobs × O(log n) rounds of pure scheduler latency on a
+    // tiny graph), the distributed Kiveris large-star/small-star
+    // alternation above it. Identical (node, component=min-reachable)
+    // contract on both paths (CanonSpec agreement test).
     "kg_connected_components" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
       val edges = li.select(
         concat(lit("s"), col("l_suppkey")).as("src"),
         concat(lit("p"), pmod(col("l_partkey"), lit(20))).as("dst")).distinct()
-      graft.canon.ConnectedComponents.run(s, edges)
+      graft.canon.ConnectedComponents.runAdaptive(s, edges)
+        .orderBy(col("node"))
+    }),
+
+    // the distributed large-star/small-star kernel itself, forced
+    // (threshold 0 disables the local path) — keeps the 100 TB-scale
+    // code path under the same DuckDB recursive-CTE oracle as the
+    // adaptive entry above
+    "kg_connected_components_dist" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val edges = li.select(
+        concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), pmod(col("l_partkey"), lit(20))).as("dst")).distinct()
+      graft.canon.ConnectedComponents.runAdaptive(s, edges, localThreshold = 0L)
         .orderBy(col("node"))
     }),
 
@@ -1998,23 +2030,16 @@ object SparkEntry {
          |  FROM links a JOIN links b ON a.conv_id = b.conv_id AND a.code < b.code
          |  GROUP BY 1, 2)
          |SELECT p.code_a, p.code_b, p.pair_n, x.n AS n_a, y.n AS n_b, nc.n_conv,
-         | CAST((1000000 * p.pair_n * nc.n_conv) // (x.n * y.n) AS BIGINT) AS lift_ppm
+         | CAST((1000000::HUGEINT * p.pair_n * nc.n_conv)
+         |   // (x.n::HUGEINT * y.n) AS BIGINT) AS lift_ppm
          |FROM pairs p
          |JOIN na x ON p.code_a = x.code
          |JOIN na y ON p.code_b = y.code
          |CROSS JOIN nc
          |ORDER BY code_a, code_b""".stripMargin,
 
-    "kg_connected_components" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT DISTINCT 's' || l_suppkey AS a, 'p' || (l_partkey % 20) AS b FROM lineitem),
-        | und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
-        | reach(n, m) AS (
-        |  SELECT a, b FROM und
-        |  UNION
-        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a WHERE u.b <> r.n)
-        |SELECT n AS node, least(n, min(m)) AS component FROM reach
-        |GROUP BY n ORDER BY node""".stripMargin,
+    "kg_connected_components" -> ccOracleSql,
+    "kg_connected_components_dist" -> ccOracleSql,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,

@@ -168,15 +168,20 @@ case class RegexLikeCached(left: Expression, right: Expression)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"rlike_cached expects (string, string), got (${l.catalogString}, ${r.catalogString})")
     }
+  // ConcurrentHashMap: tasks normally deserialize their own instance,
+  // but nothing guarantees single-threaded evaluation (subexpression
+  // reuse, driver-side constant folding in local mode) — a plain
+  // HashMap could be corrupted by a concurrent put/clear. Compiled
+  // Patterns are immutable and thread-safe to share.
   @transient private lazy val cache =
-    new java.util.HashMap[String, java.util.regex.Pattern]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
   override protected def nullSafeEval(text: Any, pattern: Any): Any = {
     val ps = pattern.asInstanceOf[UTF8String].toString
     var p = cache.get(ps)
     if (p == null) {
       if (cache.size >= RegexLikeCached.MaxCache) cache.clear()
       p = java.util.regex.Pattern.compile(ps)
-      cache.put(ps, p)
+      cache.putIfAbsent(ps, p)
     }
     p.matcher(text.asInstanceOf[UTF8String].toString).find(0)
   }
@@ -189,14 +194,24 @@ object RegexLikeCached {
   val MaxCache = 10000
 }
 
-/** ordered_terms(text, array(p₁..pₙ)): true iff text contains
-  * word-bounded occurrences of p₁..pₙ in order (occurrence i+1 starts
-  * at or after the end of occurrence i) — the linear-scan equivalent
-  * of `\bp₁\b.*\bp₂\b…` whose backtracking makes the regex O(n²) per
-  * candidate (measured >70% of relation-extraction cost at sf0.1).
-  * Greedy leftmost occurrences are complete for existence: the first
-  * occurrence of pᵢ ends earliest, so any witness sequence can be
-  * shifted left part by part. Word boundary = regex `\b`:
+/** ordered_terms(text, array(p₁..pₙ)): true iff some newline-free
+  * SEGMENT of text contains word-bounded occurrences of p₁..pₙ in
+  * order (occurrence i+1 starts at or after the end of occurrence i)
+  * — the linear-scan equivalent of `\bp₁\b.*\bp₂\b…` whose
+  * backtracking makes the regex O(n²) per candidate (measured >70%
+  * of relation-extraction cost at sf0.1). Regex `.` matches no
+  * newline (Java and RE2 alike), so a regex witness lies entirely
+  * within one line — the scan therefore restarts at every '\n',
+  * matching `rlike` on multi-line text too (parity property-tested
+  * with embedded newlines in FunctionsSpec). Known residual
+  * divergences, both outside the operator's domain: parts containing
+  * '\n' (dictionary terms never do; here they return false), and
+  * Java's extra line terminators (CR, NEL, LS, PS) which
+  * RE2 does not treat specially either. Empty parts are rejected
+  * (false) rather than trivially accepted. Greedy leftmost
+  * occurrences are complete for existence within a segment: the
+  * first occurrence of pᵢ ends earliest, so any witness sequence can
+  * be shifted left part by part. Word boundary = regex `\b`:
   * [a-zA-Z0-9_] on one side only. */
 case class OrderedTerms(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -210,10 +225,11 @@ case class OrderedTerms(left: Expression, right: Expression)
   @inline private def w(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '_'
-  private def findBounded(text: String, from: Int, term: String): Int = {
-    if (term.isEmpty) return from // parts are never empty in practice
+  /** Leftmost word-bounded occurrence of `term` in text[from, limit),
+    * or -1. `limit` is the current segment's end ('\n' or EOS). */
+  private def findBounded(text: String, from: Int, limit: Int, term: String): Int = {
     var i = text.indexOf(term, from)
-    while (i >= 0) {
+    while (i >= 0 && i + term.length <= limit) {
       // \b = XOR of word-ness across the edge (string edges non-word)
       val okL = (i > 0 && w(text.charAt(i - 1))) != w(term.charAt(0))
       val e = i + term.length
@@ -223,20 +239,42 @@ case class OrderedTerms(left: Expression, right: Expression)
     }
     -1
   }
-  override protected def nullSafeEval(text: Any, parts: Any): Any = {
-    val t = text.asInstanceOf[UTF8String].toString
-    val arr = parts.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    var pos = 0
+  /** Greedy ordered scan within one newline-free segment. */
+  private def matchSegment(t: String, segStart: Int, segEnd: Int,
+                           parts: Array[String]): Boolean = {
+    var pos = segStart
     var k = 0
-    while (k < arr.numElements()) {
-      if (arr.isNullAt(k)) return null
-      val p = arr.getUTF8String(k).toString
-      val i = findBounded(t, pos, p)
+    while (k < parts.length) {
+      val i = findBounded(t, pos, segEnd, parts(k))
       if (i < 0) return false
-      pos = i + p.length
+      pos = i + parts(k).length
       k += 1
     }
     true
+  }
+  override protected def nullSafeEval(text: Any, parts: Any): Any = {
+    val t = text.asInstanceOf[UTF8String].toString
+    val arr = parts.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val ps = new Array[String](arr.numElements())
+    var k = 0
+    while (k < ps.length) {
+      if (arr.isNullAt(k)) return null
+      val p = arr.getUTF8String(k).toString
+      if (p.isEmpty) return false // rejected: `\b\b` has no clean analog
+      ps(k) = p
+      k += 1
+    }
+    // a regex witness never crosses '\n' (`.` excludes it): try each
+    // newline-delimited segment independently
+    var segStart = 0
+    while (segStart <= t.length) {
+      val nl = t.indexOf('\n', segStart)
+      val segEnd = if (nl < 0) t.length else nl
+      if (matchSegment(t, segStart, segEnd, ps)) return true
+      if (nl < 0) return false
+      segStart = nl + 1
+    }
+    false
   }
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): OrderedTerms = copy(left = l, right = r)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,12 +55,18 @@ object Packing {
         else subtotal.sortBy(_._3).scanLeft((-1, 0L)) {
           case ((_, acc), (p, s, _)) => (p, acc + s)
         }.sliding(2).collect { case Array((_, acc), (p, _)) => (p, acc) }.toMap
-      val offsetOf = udf((p: Int) => prefix(p))
+      // the partition->offset lookup as a literal map + element_at —
+      // a codegen'd expression, unlike a scalar Scala UDF which would
+      // break whole-stage codegen for the whole packing projection
+      // (map size = #partitions: always literal-safe)
+      val offsetOf: Column =
+        if (prefix.isEmpty) lit(0L)
+        else element_at(typedLit(prefix), col("_part"))
       val w = Window.partitionBy(col("_part")).orderBy(col(orderCol))
         .rowsBetween(Window.unboundedPreceding, -1)
       ranged
         .withColumn("start_offset",
-          offsetOf(col("_part")) + coalesce(
+          offsetOf + coalesce(
             sum(col(nTokensCol).cast("long")).over(w), lit(0L)))
         // `div` = 64-bit integer division (a double-based floor would
         // drift past 2^53 total tokens — reachable at 100 TB)

@@ -63,10 +63,17 @@ object Cooccurrence {
       .join(broadcast(nA.select(col("code").as("code_a"), col("n").as("n_a"))), "code_a")
       .join(broadcast(nA.select(col("code").as("code_b"), col("n").as("n_b"))), "code_b")
       .crossJoin(broadcast(nConv))
-      // `div` = exact 64-bit integer floor division (DuckDB twin: //)
-      // — never a double on the compare path
+      // exact integer floor division in DECIMAL(38,0) (DuckDB twin:
+      // HUGEINT //) — never a double on the compare path, and the
+      // numerator 10⁶·pair_n·n_conv cannot wrap 64 bits the way a
+      // BIGINT product silently does in Spark once pair_n·n_conv
+      // nears ~9·10¹² (plausible at 10¹²-turn corpora; DuckDB would
+      // raise instead — the asymmetry this form removes). Result fits
+      // BIGINT: lift_ppm ≤ 10⁶·n_conv (pair_n ≤ min(n_a, n_b)), i.e.
+      // safe through 10¹² conversations.
       .withColumn("lift_ppm",
-        expr("(1000000 * pair_n * n_conv) div (n_a * n_b)").cast("long"))
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * pair_n * n_conv)" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b)").cast("long"))
       .select(col("code_a"), col("code_b"), col("pair_n"),
         col("n_a"), col("n_b"), col("n_conv"), col("lift_ppm"))
   }

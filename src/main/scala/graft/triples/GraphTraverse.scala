@@ -106,8 +106,14 @@ object GraphTraverse {
       var dist = seeds.select(seeds.columns.head).toDF("node")
         .distinct().withColumn("cost", lit(0L)).localCheckpoint()
       var delta = dist
+      // ONE emptiness probe per round, on the just-checkpointed delta
+      // (limit(1).count() over checkpointed data — no recompute): the
+      // same boolean serves the loop condition, the dist-update guard
+      // and the convergence check, where delta.isEmpty in each spot
+      // would launch its own job per round.
+      var frontier = delta.limit(1).count() > 0
       var i = 0
-      while (i < maxIters && !delta.isEmpty) {
+      while (i < maxIters && frontier) {
         val cand = delta.join(adj, delta("node") === adj("src"))
           .select($"dst".as("node"), ($"cost" + $"w").as("cost"))
           .groupBy($"node").agg(min($"cost").as("cost"))
@@ -116,14 +122,15 @@ object GraphTraverse {
           .filter($"cur".isNull || $"cost" < $"cur")
           .select($"node", $"cost")
           .localCheckpoint() // truncate per-round lineage
-        if (!improved.isEmpty) {
+        frontier = improved.limit(1).count() > 0
+        if (frontier) {
           dist = dist.join(improved.select($"node"), Seq("node"), "left_anti")
             .unionByName(improved).localCheckpoint()
         }
         delta = improved
         i += 1
       }
-      require(delta.isEmpty,
+      require(!frontier,
         s"shortestPaths did not converge in $maxIters rounds — raise maxIters")
       dist
     } finally { adj.unpersist(): Unit }

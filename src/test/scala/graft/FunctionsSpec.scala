@@ -137,10 +137,21 @@ class FunctionsSpec extends SparkTestBase {
     import org.apache.spark.sql.functions.{array, col, concat, lit, lower}
     val vocab = Seq("spark", "data", "table", "fast", "big", "x1")
     val rnd = new scala.util.Random(42)
+    // '\n' as a vocab element: regex `.` matches no newline, so a
+    // witness never crosses lines — the scan must agree on multi-line
+    // text too (the round-4 advice gap)
     val texts = (0 until 300).map(_ =>
       (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.length)))
         .mkString(" ")) ++
-      Seq("sparkly fast data", "data tablefast spark", "", "spark fast spark")
+      (0 until 200).map { _ =>
+        val toks = (0 until 2 + rnd.nextInt(12))
+          .map(_ => vocab(rnd.nextInt(vocab.length)))
+        toks.head + toks.tail.map(t =>
+          (if (rnd.nextBoolean()) "\n" else " ") + t).mkString
+      } ++
+      Seq("sparkly fast data", "data tablefast spark", "", "spark fast spark",
+        "spark\nfast data", "spark fast\ndata", "spark\n\nfast\ndata",
+        "spark fast data\n", "\nspark fast data")
     val parts = Seq(("spark", "fast", "data"), ("data table", "fast", "spark"),
       ("fast", "fast", "fast"), ("x1", "big", "table"))
     val rows = for (t <- texts; (a, b, c) <- parts) yield (t, a, b, c)
