@@ -190,6 +190,29 @@ object SparkEntry {
   private lazy val fixtureMaxIdf: Double =
     math.floor(math.log1p(fixtureNSurf.toDouble) * 1048576 + 0.5) / 1048576
 
+  /** JVM twins of PreparedDict's BM25 constants over the fixture dict
+    * (literals in the kg_term_search_bm25 oracle): total token count
+    * over distinct surfaces, and the df=0 idf for unseen query tokens
+    * (same log(1.0 + x) expression the Column/SQL forms evaluate). */
+  private lazy val fixtureTotalTok: Long = {
+    import graft.fixtures.Fixtures._
+    import graft.functions.Hashing.norm
+    (ncitRows.map(r => norm(r._2)) ++ pvRows.map(r => norm(r._2)) ++
+      cdeRows.map(r => norm(r._2)) ++ ncitRows.flatMap(_._4).map(norm))
+      .distinct.map(_.split(" ").length.toLong).sum
+  }
+  private lazy val fixtureBm25MaxIdf: Double = {
+    val n = fixtureNSurf.toDouble
+    math.floor(math.log(1.0 + (n - 0.0 + 0.5) / (0.0 + 0.5)) * 1048576 + 0.5) / 1048576
+  }
+
+  /** Shared by kg_term_search_bm25 + oracle. Pre-normalized; q3
+    * repeats a token to pin the tf>1 (k1 saturation) path. */
+  private val bm25SearchQueries: Seq[(String, String)] = Seq(
+    ("q1", "tumor stage category"),
+    ("q2", "smoking status"),
+    ("q3", "stage iv stage"))
+
   /** Shared by kg_rerank_oc + oracle: (query_id, cde_code|null, base
     * score). Exercises OC present / CDE-without-OC / no-CDE rows. */
   private val rerankCandidates: Seq[(String, String, Double)] = Seq(
@@ -552,6 +575,43 @@ object SparkEntry {
         .select(col("doc_id"), col("score"))
     }),
 
+    // W2 variant: TRUE BM25 relevance top-k of the same fixed query
+    // against documents — term-frequency saturation (k1=1.25) and
+    // length normalization (b=0.75) over real per-doc tf/dl, the
+    // ranking shape w2_fulltext_topk's IDF-overlap lacks. Constants
+    // are dyadic, idf and per-term contributions quantized to 2^-20
+    // (PreparedDict.bm25Tokens scaladoc has the full determinism
+    // argument); raw BM25 sums here (no self-normalization — nothing
+    // downstream needs a [0,1] scale).
+    "w2_fulltext_bm25" -> ((s, dir) => {
+      val qTokens = Seq("spark", "join", "vector")
+      val Q = (1 << 20).toDouble
+      val docs = T(s, dir, "documents")
+      val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+      val totals = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("total_tok"))
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token").isin(qTokens: _*))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val scored = tf
+        .join(broadcast(tf.groupBy("token").agg(count(lit(1)).as("df"))), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(totals))
+        .withColumn("idf", floor(log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) * Q + 0.5) / Q)
+        .withColumn("lennorm", lit(0.25) + lit(0.75) *
+          ((col("dl").cast("long") * col("n_docs")).cast("double") /
+            col("total_tok").cast("double")))
+        .withColumn("contrib", floor(col("idf") *
+          ((col("tf").cast("double") * lit(2.25)) /
+            (col("tf").cast("double") + lit(1.25) * col("lennorm"))) * Q + 0.5) / Q)
+      scored.groupBy(col("doc_id")).agg(sum(col("contrib")).as("raw"))
+        .withColumn("score", floor(col("raw") * 1e6 + 0.5) / 1e6)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(5)
+        .select(col("doc_id"), col("score"))
+    }),
+
     // W4: deterministic global LIMIT 1 (reference exact_match.py:40)
     "w4_limit1" -> ((s, dir) => {
       T(s, dir, "orders").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -890,6 +950,27 @@ object SparkEntry {
       val cdeOnly = graft.link.MatchLadder.termSearch(s, q, prepared, k = 3,
         typeFilter = Some("CDE")).withColumn("type_filter", lit("CDE"))
       val any = graft.link.MatchLadder.termSearch(s, q, prepared, k = 3)
+        .withColumn("type_filter", lit("ANY"))
+      cdeOnly.unionByName(any)
+        .select(col("query_id"), col("type_filter"), col("rank"), col("code"),
+          col("surf_norm"), (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"))
+        .orderBy(col("query_id"), col("type_filter"), col("rank"))
+    }),
+
+    // the ladder's stage-4 scorer as a term search: self-normalized
+    // BM25 with k1 saturation + length normalization (reference
+    // exact_match.py:143-154 Lucene relevance — the ranking-faithful
+    // replacement for the IDF-overlap of kg_term_search_typed, which
+    // stays pinned as the legacy scorer). The oracle replays the
+    // whole quantized-arithmetic chain: dyadic idf, per-token
+    // contribution, query self-score, one final IEEE division.
+    "kg_term_search_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val prepared = preparedFixture(s)
+      val q = bm25SearchQueries.toDF("query_id", "text")
+      val cdeOnly = graft.link.MatchLadder.termSearchBm25(s, q, prepared, k = 3,
+        typeFilter = Some("CDE")).withColumn("type_filter", lit("CDE"))
+      val any = graft.link.MatchLadder.termSearchBm25(s, q, prepared, k = 3)
         .withColumn("type_filter", lit("ANY"))
       cdeOnly.unionByName(any)
         .select(col("query_id"), col("type_filter"), col("rank"), col("code"),
@@ -1715,6 +1796,27 @@ object SparkEntry {
           T(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 1)
         .orderBy(col("doc_id"))),
 
+    // the Count-Min form of the same signal (df read from a broadcast
+    // 4x4096 sketch — no corpus-keyed df shuffle, the true 100 TB
+    // shape), pinned SIDE BY SIDE with the exact fractions: the
+    // oracle recomputes every sketch cell in HUGEINT and the
+    // overcount est>=exact is part of the pinned output
+    "text_dup_ngrams_cms" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val exact = TextAnalysis.dupNgramFraction(docs, "doc_id", "text",
+          n = 3, threshold = 1)
+        .select(col("doc_id"), col("n_ngrams"),
+          col("n_dup").as("n_dup_exact"),
+          col("dup_fraction").as("dup_fraction_exact"))
+      val cms = TextAnalysis.dupNgramFractionCms(docs, "doc_id", "text",
+          n = 3, threshold = 1, d = 4, wBits = 12)
+        .select(col("doc_id"), col("n_dup_cms"), col("dup_fraction_cms"))
+      exact.join(cms, "doc_id")
+        .select(col("doc_id"), col("n_ngrams"), col("n_dup_exact"),
+          col("n_dup_cms"), col("dup_fraction_exact"), col("dup_fraction_cms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ======== conversation-level exact dedup ========
 
     // whole conversations as the dedup unit: order-pinned fingerprint
@@ -1910,6 +2012,29 @@ object SparkEntry {
         |  floor((coalesce(w0, 0.0) + coalesce(w1, 0.0) + coalesce(w2, 0.0)) * 1e6 + 0.5)
         |    / 1e6 AS score
         | FROM agged) s WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 5""".stripMargin,
+
+    "w2_fulltext_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        | totals AS (SELECT count(*) AS n_docs, sum(dl) AS total_tok FROM dl),
+        | tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token IN ('spark', 'join', 'vector') GROUP BY doc_id, token),
+        | dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        | scored AS (
+        |  SELECT t.doc_id,
+        |   floor((floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |       * 1048576 + 0.5) / 1048576)
+        |     * ((CAST(t.tf AS DOUBLE) * 2.25) / (CAST(t.tf AS DOUBLE)
+        |        + 1.25 * (0.25 + 0.75 * (CAST(d.dl * n_docs AS DOUBLE)
+        |                                 / CAST(total_tok AS DOUBLE)))))
+        |     * 1048576 + 0.5) / 1048576 AS contrib
+        |  FROM tf t JOIN dfq USING (token) JOIN dl d USING (doc_id)
+        |  CROSS JOIN totals)
+        |SELECT doc_id, floor(sum(contrib) * 1e6 + 0.5) / 1e6 AS score
+        |FROM scored GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 5""".stripMargin,
 
     "w4_limit1" ->
@@ -2553,6 +2678,77 @@ object SparkEntry {
          |ORDER BY query_id, type_filter, rank""".stripMargin
     },
 
+    // full quantized-BM25 replay: dyadic idf at 2^-20, per-(surface,
+    // token) contribution with k1=1.25 / b=0.75 saturation+lennorm,
+    // query self-score (unseen tokens at the df=0 idf), one IEEE
+    // division — identical operation order to MatchLadder.bm25TopK /
+    // PreparedDict.bm25Tokens
+    "kg_term_search_bm25" -> {
+      val qVals = bm25SearchQueries.map { case (id, t) => s"('$id','${sqlQuote(t)}')" }
+        .mkString(", ")
+      val bm25Contrib = (idf: String, tf: String, dl: String) =>
+        s"""floor($idf * ((CAST($tf AS DOUBLE) * 2.25) / (CAST($tf AS DOUBLE)
+           |     + 1.25 * (0.25 + 0.75 * (CAST($dl * $fixtureNSurf AS DOUBLE)
+           |                              / ${dblSql(fixtureTotalTok.toDouble)}))))
+           |   * 1048576 + 0.5) / 1048576""".stripMargin
+      s"""WITH surf(norm, code, ctype) AS (SELECT * FROM (VALUES
+         |  $surfaceSqlValues) v(norm, code, ctype)),
+         | dn AS (SELECT DISTINCT norm FROM surf),
+         | stok AS (
+         |  SELECT norm, dl, token, count(*) AS tf FROM (
+         |   SELECT norm, len(string_split(norm, ' ')) AS dl,
+         |          unnest(string_split(norm, ' ')) AS token
+         |   FROM dn) GROUP BY norm, dl, token),
+         | idf AS (
+         |  SELECT token,
+         |   floor(ln(1.0 + (CAST($fixtureNSurf AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |     * 1048576 + 0.5) / 1048576 AS idf
+         |  FROM (SELECT token, count(*) AS df
+         |        FROM (SELECT DISTINCT norm, token FROM stok) GROUP BY token)),
+         | contrib AS (
+         |  SELECT s.norm, s.token,
+         |   ${bm25Contrib("i.idf", "s.tf", "s.dl")} AS contrib
+         |  FROM stok s JOIN idf i USING (token)),
+         | q(query_id, qnorm) AS (SELECT * FROM (VALUES $qVals) v(query_id, qnorm)),
+         | qtok AS (
+         |  SELECT query_id, dl_q, token, count(*) AS tf_q FROM (
+         |   SELECT query_id, len(string_split(qnorm, ' ')) AS dl_q,
+         |          unnest(string_split(qnorm, ' ')) AS token
+         |   FROM q) GROUP BY query_id, dl_q, token),
+         | qself AS (
+         |  SELECT query_id, sum(cq) AS q_self FROM (
+         |   SELECT query_id,
+         |    ${bm25Contrib(s"coalesce(i.idf, ${dblSql(fixtureBm25MaxIdf)})", "qt.tf_q", "qt.dl_q")} AS cq
+         |   FROM qtok qt LEFT JOIN idf i USING (token)) GROUP BY query_id),
+         | branch AS (
+         |  SELECT 'CDE' AS type_filter, s.norm, s.code, c.token, c.contrib
+         |  FROM surf s JOIN contrib c ON c.norm = s.norm WHERE s.ctype = 'CDE'
+         |  UNION ALL
+         |  SELECT DISTINCT 'ANY' AS type_filter, s.norm, s.code, c.token, c.contrib
+         |  FROM surf s JOIN contrib c ON c.norm = s.norm),
+         | ov AS (
+         |  SELECT qt.query_id, b.type_filter, b.code, b.norm, sum(b.contrib) AS raw
+         |  FROM (SELECT DISTINCT query_id, token FROM qtok) qt
+         |  JOIN branch b USING (token)
+         |  GROUP BY qt.query_id, b.type_filter, b.code, b.norm),
+         | scored AS (
+         |  SELECT o.query_id, o.type_filter, o.code, o.norm AS surf_norm,
+         |   o.raw / s.q_self AS score
+         |  FROM ov o JOIN qself s USING (query_id)),
+         | best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id, type_filter, code
+         |    ORDER BY score DESC, surf_norm) AS rs FROM scored),
+         | ranked AS (
+         |  SELECT query_id, type_filter, code, surf_norm, score,
+         |   row_number() OVER (PARTITION BY query_id, type_filter
+         |     ORDER BY score DESC, code) AS rank
+         |  FROM best WHERE rs = 1)
+         |SELECT query_id, type_filter, rank, code, surf_norm,
+         | ${floorRound("score", "1e6")} AS score
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, type_filter, rank""".stripMargin
+    },
+
     "text_quality" -> {
       val stopList = graft.ops.TextAnalysis.stopwords.values.flatten.toSeq.distinct
         .map(s => s"'$s'").mkString("[", ", ", "]")
@@ -2643,6 +2839,7 @@ object SparkEntry {
     "sketch_kmv_distinct" -> SketchOracles.sketch_kmv_distinct,
     "sketch_hll_distinct" -> SketchOracles.sketch_hll_distinct,
     "sketch_countmin_freq" -> SketchOracles.sketch_countmin_freq,
+    "text_dup_ngrams_cms" -> SketchOracles.text_dup_ngrams_cms,
     "decontam_bloom" -> SketchOracles.decontam_bloom,
 
     // ROLLUP levels via GROUPING bitmask (same bit order as Spark's

@@ -23,6 +23,13 @@ final case class PreparedDict(
     fuzzyTokensAny: DataFrame,                   // same, deduped across ctype (no ctype col)
     idfTable: DataFrame,                         // (token, idf) — distinct, for query-side weighting
     maxIdf: Double,                              // idf assigned to tokens unseen in the dictionary
+    bm25Tokens: DataFrame,                       // (ctype, code, surf_norm, token, contrib) — quantized
+                                                 // per-token BM25 contribution (k1/b saturation baked in)
+    bm25TokensAny: DataFrame,                    // same, deduped across ctype (no ctype col)
+    bm25Idf: DataFrame,                          // (token, idf) — BM25 idf, for query-side self-score
+    bm25MaxIdf: Double,                          // BM25 idf at df=0 (unseen query tokens)
+    bm25N: Long,                                 // distinct surfaces (BM25 "N docs")
+    bm25TotalTok: Long,                          // Σ token count over distinct surfaces (avgdl = total/N)
     vecs: Broadcast[Array[(String, Array[Float])]], // L2-normalized, terms >= MinCosineLen chars
     surfaces: Broadcast[SurfaceLengthIndex],        // length-bucketed (norm, code) edit-distance index
     defs: Broadcast[Array[(String, String, String, String, Array[Float])]],
@@ -119,6 +126,58 @@ object PreparedDict {
     val idfTable = idf.cache()
     idfTable.count()
 
+    // BM25 token index — the true Lucene-relevance twin of the
+    // reference's ftTermIndex (exact_match.py:143-154), replacing the
+    // weighted-Jaccard stand-in as the ladder's stage-4 scorer:
+    //   idf(t)      = ln(1 + (N − df + ½)/(df + ½))        (Lucene BM25 idf)
+    //   contrib(t,S)= idf(t)·(tf·(k1+1))/(tf + k1·(1−b+b·dl/avgdl))
+    // with k1 = 1.25 and b = 0.75 — NONSTANDARD on purpose: both are
+    // dyadic rationals, so 2.25, 1.25, 0.25, 0.75 are exact double
+    // literals in every engine (1.2 is not), and dl/avgdl is computed
+    // as the exact integer ratio (dl·N)/totalTok before ONE IEEE
+    // division. idf and contrib are quantized to 2^-20 steps: the
+    // per-surface score is then a sum of dyadic rationals — exact,
+    // order-independent, bit-identical across partitionings and
+    // engines. tf = term frequency within the surface (k1 saturation),
+    // dl = surface token count (b length normalization).
+    val surfTokTf = fuzzy
+      .withColumn("toks", split($"norm", " "))
+      .select($"ctype", $"code", $"norm".as("surf_norm"),
+        size($"toks").as("dl"), explode($"toks").as("token"))
+      .groupBy($"ctype", $"code", $"surf_norm", $"dl", $"token")
+      .agg(count(lit(1)).as("tf"))
+    val totalTok = fuzzy.select($"norm").distinct()
+      .select(size(split($"norm", " ")).as("dl"))
+      .agg(sum($"dl".cast("long"))).head().getLong(0)
+    def bm25IdfOf(dfCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(log(lit(1.0) +
+        (lit(nSurf.toDouble) - dfCol + lit(0.5)) / (dfCol + lit(0.5))) * Q + 0.5) / Q
+    val bm25Idf = surfTokTf.select($"surf_norm", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+      .select($"token", bm25IdfOf($"df".cast("double")).as("idf"))
+    val bm25MaxIdf = { // df = 0: the weight of a query token unseen in
+      // the dictionary. log(1.0 + x), NOT log1p(x): must be the same
+      // double expression the Column/SQL forms evaluate.
+      val n = nSurf.toDouble
+      math.floor(math.log(1.0 + (n - 0.0 + 0.5) / (0.0 + 0.5)) * Q + 0.5) / Q
+    }
+    val lennorm = lit(0.25) +
+      lit(0.75) * (($"dl".cast("long") * lit(nSurf)).cast("double") /
+        lit(totalTok.toDouble))
+    val bm25Tokens = surfTokTf.join(bm25Idf, "token")
+      .withColumn("contrib",
+        floor($"idf" * (($"tf".cast("double") * lit(2.25)) /
+          ($"tf".cast("double") + lit(1.25) * lennorm)) * Q + 0.5) / Q)
+      .select($"ctype", $"code", $"surf_norm", $"token", $"contrib")
+      .cache()
+    bm25Tokens.count()
+    val bm25TokensAny = bm25Tokens
+      .select($"code", $"surf_norm", $"token", $"contrib")
+      .distinct().cache()
+    bm25TokensAny.count()
+    val bm25IdfTable = bm25Idf.cache()
+    bm25IdfTable.count()
+
     val dictVecs = dict.ncit.select(graft.Functions.norm_text($"term").as("norm"), $"code", $"embedding")
       .unionByName(dict.pv.select(graft.Functions.norm_text($"term").as("norm"), $"code", $"embedding"))
       .unionByName(dict.cde.select(graft.Functions.norm_text($"term").as("norm"), $"code", $"embedding"))
@@ -166,7 +225,8 @@ object PreparedDict {
       .cache()
     dictTriples.count()
     PreparedDict(dict, ac, resolution, fuzzy, fuzzyTokens, fuzzyTokensAny,
-      idfTable, maxIdf, bcVecs, bcSurf, bcDefs, canonical, dictTriples)
+      idfTable, maxIdf, bm25Tokens, bm25TokensAny, bm25IdfTable, bm25MaxIdf,
+      nSurf, totalTok, bcVecs, bcSurf, bcDefs, canonical, dictTriples)
   }
 
   private[graft] def l2(v: Array[Float]): Array[Float] = {

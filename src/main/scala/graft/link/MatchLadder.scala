@@ -101,12 +101,14 @@ object MatchLadder {
     val unmatched = resolved.filter($"code".isNull)
       .select((mentionKey.map(col) :+ $"surface" :+ $"norm"): _*)
 
-    // --- stage 4: fuzzy TF-IDF-weighted token-overlap top-k (W2 —
-    //     the deterministic stand-in for the Lucene BM25 full-text
-    //     index: rare tokens dominate). Inverted-index join against
-    //     the broadcast surface token index; shuffles only
-    //     residue-sized data. ---
-    val s4 = weightedFuzzyTopK(spark,
+    // --- stage 4: BM25 full-text top-k (W2 — the deterministic twin
+    //     of the reference's Lucene relevance, exact_match.py:143-154,
+    //     with true k1 saturation + b length normalization; scores
+    //     self-normalized to [0,~1] so fuzzyMin and the confidence
+    //     bands keep their scale). Inverted-index join against the
+    //     broadcast surface token index; shuffles only residue-sized
+    //     data. ---
+    val s4 = bm25TopK(spark,
         unmatched.select((mentionKey.map(col) :+ $"surface" :+ $"norm"): _*),
         mentionKey :+ "surface", prepared, fuzzyK, fuzzyMin)
       .select((mentionKey.map(col) :+ $"surface" :+ $"code" :+
@@ -258,10 +260,85 @@ object MatchLadder {
       .select((key ++ Seq($"rank", $"code", $"surf_norm", $"score")): _*)
   }
 
+  /** Self-normalized BM25 top-k of `queries` against the prepared
+    * BM25 surface token index — the ranking-faithful replacement for
+    * [[weightedFuzzyTopK]] (which lacks tf saturation and length
+    * normalization, so its ORDER can differ from Lucene's on
+    * multi-word queries). Per surface S and query Q:
+    *
+    *   raw(Q,S)  = Σ_{t ∈ distinct(Q) ∩ S} contrib(t,S)
+    *   score     = raw(Q,S) / self(Q)
+    *
+    * where contrib is the precomputed quantized BM25 term weight
+    * (PreparedDict.bm25Tokens scaladoc: k1 = 1.25, b = 0.75, dyadic
+    * 2^-20 quantization) and self(Q) is Q scored against itself as if
+    * it were a surface (its own tf/dl, unseen tokens at the df=0
+    * idf). The per-query constant leaves BM25's ranking untouched but
+    * maps a perfect self-match to ~1, so thresholds and confidence
+    * bands keep the [0,1] scale of the other ladder stages; scores
+    * can slightly exceed 1 when a matched surface is shorter than
+    * avgdl (BM25's length reward — pinned in the oracle).
+    *
+    * Raw sums are dyadic-exact and the final division is one IEEE
+    * double op on exact operands: bit-identical across engines and
+    * partitionings, like every other oracle-compared score.
+    *
+    * @param queries DataFrame with `keyCols` + a `norm` column
+    * @return keyCols + (rank, code, surf_norm, score), top-k per key
+    *   under (score DESC, code ASC), best surface per (key, code). */
+  def bm25TopK(spark: SparkSession, queries: DataFrame, keyCols: Seq[String],
+               prepared: graft.dict.PreparedDict, k: Int, minScore: Double,
+               typeFilter: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val key = keyCols.map(col)
+    val surfTok = typeFilter match {
+      case Some(t) => prepared.bm25Tokens.filter($"ctype" === t).drop("ctype")
+      case None => prepared.bm25TokensAny
+    }
+    val Q = (1 << 20).toDouble
+    val n = prepared.bm25N
+    val total = prepared.bm25TotalTok
+    // query side: per-(key, token) tf + query length, BM25 idf with
+    // unseen tokens at the df=0 weight, self-score carried on every
+    // token row via a window sum (dyadic -> exact)
+    val qTok = queries
+      .withColumn("toks", split($"norm", " "))
+      .withColumn("dl_q", size($"toks"))
+      .select((key :+ $"dl_q" :+ explode($"toks").as("token")): _*)
+      .groupBy((key :+ $"dl_q" :+ $"token"): _*)
+      .agg(count(lit(1)).as("tf_q"))
+      .join(broadcast(prepared.bm25Idf), Seq("token"), "left")
+      .withColumn("w", coalesce($"idf", lit(prepared.bm25MaxIdf)))
+      .withColumn("lennorm_q",
+        lit(0.25) + lit(0.75) * (($"dl_q".cast("long") * lit(n)).cast("double") /
+          lit(total.toDouble)))
+      .withColumn("cq",
+        floor($"w" * (($"tf_q".cast("double") * lit(2.25)) /
+          ($"tf_q".cast("double") + lit(1.25) * $"lennorm_q")) * Q + 0.5) / Q)
+      .withColumn("q_self", sum($"cq").over(Window.partitionBy(key: _*)))
+    val matched = qTok.select((key ++ Seq($"token", $"q_self")): _*)
+      .join(broadcast(surfTok), "token")
+      .groupBy((key ++ Seq($"code", $"surf_norm", $"q_self")): _*)
+      .agg(sum($"contrib").as("raw"))
+    matched
+      .withColumn("score", $"raw" / $"q_self")
+      .filter($"score" >= minScore)
+      .withColumn("rs", row_number().over(Window.partitionBy(
+        (key :+ $"code"): _*).orderBy($"score".desc, $"surf_norm".asc)))
+      .filter($"rs" === 1)
+      .withColumn("rank", row_number().over(Window.partitionBy(key: _*)
+        .orderBy($"score".desc, $"code".asc)))
+      .filter($"rank" <= k)
+      .select((key ++ Seq($"rank", $"code", $"surf_norm", $"score")): _*)
+  }
+
   /** Unified type-filtered term search (the reference's ftTermIndex
     * spanning all labels with a `type` property filter): search the
     * whole dictionary — or one node type — for the best-matching
-    * surfaces of free-text queries. queries: (query_id, text). */
+    * surfaces of free-text queries. queries: (query_id, text).
+    * Kept on the weighted-Jaccard scorer it has always used (its
+    * oracle pins those scores); [[termSearchBm25]] is the
+    * Lucene-faithful variant. */
   def termSearch(spark: SparkSession, queries: DataFrame,
                  prepared: graft.dict.PreparedDict, k: Int = DefaultFuzzyK,
                  minScore: Double = 0.0,
@@ -270,6 +347,18 @@ object MatchLadder {
     val q = queries.select($"query_id",
       graft.Functions.norm_text($"text").as("norm"))
     weightedFuzzyTopK(spark, q, Seq("query_id"), prepared, k, minScore, typeFilter)
+  }
+
+  /** [[termSearch]] on the BM25 scorer — the ladder's stage-4 ranking
+    * exposed as a query-id search. */
+  def termSearchBm25(spark: SparkSession, queries: DataFrame,
+                     prepared: graft.dict.PreparedDict, k: Int = DefaultFuzzyK,
+                     minScore: Double = 0.0,
+                     typeFilter: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val q = queries.select($"query_id",
+      graft.Functions.norm_text($"text").as("norm"))
+    bm25TopK(spark, q, Seq("query_id"), prepared, k, minScore, typeFilter)
   }
 }
 

@@ -118,15 +118,23 @@ object Sketches {
     * SketchesSpec).
     */
   def countMinTable(df: DataFrame, textCol: String,
-                    d: Int = 4, wBits: Int = 12): DataFrame = {
+                    d: Int = 4, wBits: Int = 12): DataFrame =
+    countMinOverTokens(tokenOccurrences(df, textCol), "token", d, wBits)
+
+  /** [[countMinTable]] over a pre-tokenized occurrence stream (one
+    * row per occurrence of `tokenCol`) — lets callers sketch any key
+    * domain (word shingles, n-grams, ids), not just the default
+    * tokenizer's output. */
+  def countMinOverTokens(tok: DataFrame, tokenCol: String,
+                         d: Int = 4, wBits: Int = 12): DataFrame = {
     require(d >= 1 && wBits >= 1 && d * wBits <= 64,
       s"need d*wBits <= 64, got d=$d wBits=$wBits")
     val mask = (1L << wBits) - 1
-    val h = graft.Functions.hash64_str(col("token"))
+    val h = graft.Functions.hash64_str(col(tokenCol))
     val cells = (0 until d).map(j =>
       struct(lit(j).as("row"),
         shiftrightunsigned(h, j * wBits).bitwiseAND(lit(mask)).as("pos")))
-    tokenOccurrences(df, textCol)
+    tok
       .select(explode(array(cells: _*)).as("cell"))
       .groupBy(col("cell.row").as("row"), col("cell.pos").as("pos"))
       .agg(count(lit(1)).as("cnt"))

@@ -135,9 +135,9 @@ object TextAnalysis {
     * Two keyed shuffles: the n-gram frequency groupBy (map-side
     * partial agg) and the join back. At 100 TB, hash the shingle to
     * 64 bits before the shuffle (narrow keys; collisions negligible
-    * at these thresholds) or replace the exact count with the
-    * Count-Min sketch ([[Sketches.countMinTable]]) for a map-only
-    * probe — this exact form is the oracle-checkable ground truth.
+    * at these thresholds) or use [[dupNgramFractionCms]] — the
+    * Count-Min probe that drops the df shuffle entirely — with this
+    * exact form as the oracle-checkable ground truth.
     */
   def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Long = 1): DataFrame = {
@@ -151,5 +151,47 @@ object TextAnalysis {
         sum(when(col("corpus_n") > threshold, 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_fraction",
         r4(col("n_dup").cast("double") / col("n_ngrams")))
+  }
+
+  /** Count-Min variant of [[dupNgramFraction]] — the genuinely
+    * map-only 100 TB form that operator's scaladoc promises: the
+    * per-shingle document frequency is read from a broadcast
+    * Count-Min table (≤ d·2^wBits rows REGARDLESS of corpus size)
+    * instead of the exact df groupBy + join-back, so after the
+    * cell-bounded sketch build the probe pass is d broadcast hash
+    * joins over the exploded shingles — never a corpus-keyed df
+    * shuffle — followed by the one unavoidable per-doc aggregation.
+    * CMS estimates only ever overcount (est ≥ true df), so
+    * dup_fraction_cms ≥ dup_fraction_exact per document; the catalog
+    * query pins both side by side.
+    */
+  def dupNgramFractionCms(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, threshold: Long = 1,
+                          d: Int = 4, wBits: Int = 12): DataFrame = {
+    def r4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+    val occ = docs.select(col(idCol),
+      explode(Functions.word_shingles(col(textCol), n)).as("shingle"))
+    val cms = Sketches.countMinOverTokens(
+      occ.select(col("shingle").as("token")), "token", d, wBits)
+    // d broadcast left joins (one per sketch row), then least():
+    // missing cell -> 0 occurrences hashed there -> estimate 0
+    val mask = (1L << wBits) - 1
+    var probed = occ.withColumn("_h", Functions.hash64_str(col("shingle")))
+    val cnts = (0 until d).map { j =>
+      val cj = cms.filter(col("row") === j)
+        .select(col("pos").as(s"_pos_$j"), col("cnt").as(s"_cnt_$j"))
+      probed = probed
+        .withColumn(s"_pos_$j",
+          shiftrightunsigned(col("_h"), j * wBits).bitwiseAND(lit(mask)))
+        .join(broadcast(cj), Seq(s"_pos_$j"), "left")
+      coalesce(col(s"_cnt_$j"), lit(0L))
+    }
+    val cmsDf = if (cnts.size == 1) cnts.head else least(cnts: _*)
+    probed.withColumn("cms_df", cmsDf)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("cms_df") > threshold, 1L).otherwise(0L)).as("n_dup_cms"))
+      .withColumn("dup_fraction_cms",
+        r4(col("n_dup_cms").cast("double") / col("n_ngrams")))
   }
 }

@@ -723,6 +723,49 @@ FROM bloom b LEFT JOIN exact e USING (doc_id)
 ORDER BY doc_id"""
 
 
+def gen_text_dup_ngrams_cms():
+    """Twin of TextAnalysis.dupNgramFractionCms (n=3, threshold=1,
+    d=4, wBits=12): per-doc DISTINCT 3-gram shingles; the exact
+    document-frequency dup flag beside a Count-Min estimate of the
+    same df (cells counted over all per-doc-distinct shingle
+    occurrences, est = min over the 4 addressed 12-bit cells — est >=
+    exact always). Fractions floor-rounded to 4dp."""
+    return f"""WITH norm AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, CASE WHEN len(toks) >= 3
+    THEN list_distinct([array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks)-2)])
+    ELSE [] END AS sh
+  FROM norm
+),
+occ AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+hs AS (SELECT shingle, {hash64('shingle')} AS h
+       FROM (SELECT DISTINCT shingle FROM occ)),
+cells AS (
+  SELECT j, CAST((h >> (12*j)) & 4095::HUGEINT AS BIGINT) AS pos, count(*) AS cnt
+  FROM occ JOIN hs USING (shingle), range(4) r(j) GROUP BY 1, 2
+),
+freq AS (SELECT shingle, count(*) AS df FROM occ GROUP BY shingle),
+est AS (
+  SELECT hs.shingle, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_df
+  FROM hs CROSS JOIN range(4) r(j)
+  LEFT JOIN cells c ON c.j = r.j
+    AND c.pos = CAST((hs.h >> (12*r.j)) & 4095::HUGEINT AS BIGINT)
+  GROUP BY hs.shingle
+)
+SELECT o.doc_id, count(*) AS n_ngrams,
+  CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_exact,
+  CAST(sum(CASE WHEN e.cms_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_cms,
+  floor(CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) * 1e4 + 0.5) / 1e4 AS dup_fraction_exact,
+  floor(CAST(sum(CASE WHEN e.cms_df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) * 1e4 + 0.5) / 1e4 AS dup_fraction_cms
+FROM occ o JOIN freq f USING (shingle) JOIN est e USING (shingle)
+GROUP BY o.doc_id ORDER BY doc_id"""
+
+
 def gen_hash64_expr():
     """Parameterizable hash64 snippet: callers (SparkEntry oracle
     assembly) substitute the literal token __EXPR__ with any VARCHAR
@@ -744,6 +787,7 @@ ORACLES = {
     "sketch_hll_distinct": gen_sketch_hll,
     "sketch_countmin_freq": gen_sketch_countmin,
     "decontam_bloom": gen_decontam_bloom,
+    "text_dup_ngrams_cms": gen_text_dup_ngrams_cms,
     # SQL snippets (not standalone oracles) consumed by oracle SQL
     # assembled in SparkEntry:
     "mm_hash64_text": gen_mm_hash64_text,
