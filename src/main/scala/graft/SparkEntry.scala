@@ -246,6 +246,15 @@ object SparkEntry {
     graft.fixtures.Fixtures.vdmPv.toSeq.sortBy(_._1).flatMap { case (v, ps) =>
       ps.map(p => s"('$v','$p')") }.mkString(", ")
 
+  /** SemanticType vertices + NCIT->ST edges as SQL VALUES
+    * (HAS_SEMANTIC_TYPE, reference synonym_tool.py:90-96). */
+  private lazy val stSqlValues: String =
+    graft.fixtures.Fixtures.stRows.map { case (c, t) =>
+      s"('$c','${sqlQuote(t)}')" }.mkString(", ")
+  private lazy val ncitStSqlValues: String =
+    graft.fixtures.Fixtures.ncitSt.map { case (n, s) =>
+      s"('$n','$s')" }.mkString(", ")
+
   /** Fixture CDE->DEC->OC chain as SQL VALUES (base-edge + OC/DEC
     * vertex twin for the kg_graph_materialize oracle). */
   private lazy val decOcSqlValues: String =
@@ -1742,8 +1751,11 @@ object SparkEntry {
       graft.triples.BgpQuery.query(
           graft.triples.Triples.baseEdges(s, dict), Seq(
             ("?cde", "HAS_VDM", "?vdm"), ("?vdm", "HAS_PV", "?pv"),
-            ("?pv", "HAS_CONCEPT", "?ncit"), ("?cde", "HAS_DEC", "?dec")))
-        .orderBy(col("cde"), col("vdm"), col("pv"), col("ncit"), col("dec"))
+            ("?pv", "HAS_CONCEPT", "?ncit"), ("?cde", "HAS_DEC", "?dec"),
+            // the typing hop of reference synonym_tool.py:90-96
+            ("?ncit", "HAS_SEMANTIC_TYPE", "?stype")))
+        .orderBy(col("cde"), col("vdm"), col("pv"), col("ncit"),
+          col("dec"), col("stype"))
     }),
 
     // ======== transitive closure (ancestors table) ========
@@ -2353,6 +2365,8 @@ object SparkEntry {
          | decpr(dec_code, pr_code, pr_term, ncit_code) AS (
          |   SELECT * FROM (VALUES $decPrSqlValues) v(dec_code, pr_code, pr_term, ncit_code)),
          | ocg(oc_code, ncit_code) AS (SELECT * FROM (VALUES $ocGroundSqlValues) v(oc_code, ncit_code)),
+         | st(st_code, st_term) AS (SELECT * FROM (VALUES $stSqlValues) v(st_code, st_term)),
+         | ncitst(ncit_code, st_code) AS (SELECT * FROM (VALUES $ncitStSqlValues) v(ncit_code, st_code)),
          | ncitv(code, vec) AS (SELECT code, vec FROM (VALUES
          |  $ncitVecSqlValues) v(code, term, vec)),
          | syn(code, term) AS (SELECT * FROM (VALUES $synonymSqlValues) v(code, term)),
@@ -2376,6 +2390,7 @@ object SparkEntry {
          |   UNION ALL SELECT DISTINCT dec_code, 'DEC', 'data element concept ' || dec_code FROM decoc
          |   UNION ALL SELECT DISTINCT oc_code, 'OC', oc_term FROM decoc
          |   UNION ALL SELECT DISTINCT pr_code, 'PR', pr_term FROM decpr
+         |   UNION ALL SELECT st_code, 'SemanticType', st_term FROM st
          |   UNION ALL SELECT DISTINCT term, 'SYN', term FROM syn),
          | canon AS (
          |   SELECT a.code, a.label, a.term, coalesce(c.component, a.code) AS canonical
@@ -2402,7 +2417,8 @@ object SparkEntry {
          |   UNION ALL SELECT DISTINCT 'edge:HAS_PV', vdm_code, pv_code, NULL FROM vdmpv
          |   UNION ALL SELECT DISTINCT 'edge:HAS_DEC', cde_code, dec_code, NULL FROM decoc
          |   UNION ALL SELECT DISTINCT 'edge:HAS_OC', dec_code, oc_code, NULL FROM decoc
-         |   UNION ALL SELECT DISTINCT 'edge:HAS_PR', dec_code, pr_code, NULL FROM decpr),
+         |   UNION ALL SELECT DISTINCT 'edge:HAS_PR', dec_code, pr_code, NULL FROM decpr
+         |   UNION ALL SELECT DISTINCT 'edge:HAS_SEMANTIC_TYPE', ncit_code, st_code, NULL FROM ncitst),
          | simranked AS (
          |   SELECT a.code AS sa, b.code AS sb,
          |     row_number() OVER (PARTITION BY a.code
@@ -2441,6 +2457,8 @@ object SparkEntry {
          | decpr(dec_code, pr_code, pr_term, ncit_code) AS (
          |   SELECT * FROM (VALUES $decPrSqlValues) v(dec_code, pr_code, pr_term, ncit_code)),
          | ocg(oc_code, ncit_code) AS (SELECT * FROM (VALUES $ocGroundSqlValues) v(oc_code, ncit_code)),
+         | st(st_code, st_term) AS (SELECT * FROM (VALUES $stSqlValues) v(st_code, st_term)),
+         | ncitst(ncit_code, st_code) AS (SELECT * FROM (VALUES $ncitStSqlValues) v(ncit_code, st_code)),
          | ncitv(code, vec) AS (SELECT code, vec FROM (VALUES
          |  $ncitVecSqlValues) v(code, term, vec)),
          | syn(code, term) AS (SELECT * FROM (VALUES $synonymSqlValues) v(code, term)),
@@ -2464,6 +2482,7 @@ object SparkEntry {
          |   UNION ALL SELECT DISTINCT dec_code, 'DEC', 'data element concept ' || dec_code FROM decoc
          |   UNION ALL SELECT DISTINCT oc_code, 'OC', oc_term FROM decoc
          |   UNION ALL SELECT DISTINCT pr_code, 'PR', pr_term FROM decpr
+         |   UNION ALL SELECT st_code, 'SemanticType', st_term FROM st
          |   UNION ALL SELECT DISTINCT term, 'SYN', term FROM syn),
          | canon AS (
          |   SELECT a.code, coalesce(c.component, a.code) AS canonical
@@ -2477,7 +2496,8 @@ object SparkEntry {
          |   UNION SELECT 'HAS_PV', vdm_code, pv_code FROM vdmpv
          |   UNION SELECT 'HAS_DEC', cde_code, dec_code FROM decoc
          |   UNION SELECT 'HAS_OC', dec_code, oc_code FROM decoc
-         |   UNION SELECT 'HAS_PR', dec_code, pr_code FROM decpr),
+         |   UNION SELECT 'HAS_PR', dec_code, pr_code FROM decpr
+         |   UNION SELECT 'HAS_SEMANTIC_TYPE', ncit_code, st_code FROM ncitst),
          | e_derived(pred, a, b) AS (
          |   SELECT DISTINCT 'MAPS_TO', p.ncit_code, c.cde_code
          |   FROM cde c
@@ -2802,9 +2822,9 @@ object SparkEntry {
     "kg_pipeline_full" ->
       """SELECT pred, CAST(n AS BIGINT) AS n FROM (VALUES
         |  ('HAS_CONCEPT', 25), ('HAS_DEC', 7), ('HAS_OC', 7),
-        |  ('HAS_PR', 7), ('HAS_PV', 17), ('HAS_SYNONYM', 76),
-        |  ('HAS_VDM', 8), ('LINKED_TO', 2150), ('MAPS_TO', 14),
-        |  ('SAME_AS', 9)) v(pred, n)
+        |  ('HAS_PR', 7), ('HAS_PV', 17), ('HAS_SEMANTIC_TYPE', 50),
+        |  ('HAS_SYNONYM', 76), ('HAS_VDM', 8), ('LINKED_TO', 2150),
+        |  ('MAPS_TO', 14), ('SAME_AS', 9)) v(pred, n)
         |ORDER BY pred""".stripMargin,
 
     // deterministic regression pin: IVF is seeded by fixed id hashes,
@@ -2877,6 +2897,7 @@ object SparkEntry {
          | decpr(dec_code, pr_code, pr_term, ncit_code) AS (
          |   SELECT * FROM (VALUES $decPrSqlValues) v(dec_code, pr_code, pr_term, ncit_code)),
          | ocg(oc_code, ncit_code) AS (SELECT * FROM (VALUES $ocGroundSqlValues) v(oc_code, ncit_code)),
+         | ncitst(ncit_code, st_code) AS (SELECT * FROM (VALUES $ncitStSqlValues) v(ncit_code, st_code)),
          | ed AS (
          |   SELECT DISTINCT subj, pred, obj FROM (
          |     SELECT pv_code AS subj, 'HAS_CONCEPT' AS pred, ncit_code AS obj FROM pv
@@ -2886,7 +2907,8 @@ object SparkEntry {
          |     UNION ALL SELECT vdm_code, 'HAS_PV', pv_code FROM vdmpv
          |     UNION ALL SELECT cde_code, 'HAS_DEC', dec_code FROM decoc
          |     UNION ALL SELECT dec_code, 'HAS_OC', oc_code FROM decoc
-         |     UNION ALL SELECT dec_code, 'HAS_PR', pr_code FROM decpr)),
+         |     UNION ALL SELECT dec_code, 'HAS_PR', pr_code FROM decpr
+         |     UNION ALL SELECT ncit_code, 'HAS_SEMANTIC_TYPE', st_code FROM ncitst)),
          | verts AS (SELECT DISTINCT v FROM
          |   (SELECT subj AS v FROM ed UNION ALL SELECT obj FROM ed)),
          | vh AS (SELECT v, ${h64("v")} AS vh FROM verts),
@@ -2963,6 +2985,7 @@ object SparkEntry {
          | decpr(dec_code, pr_code, pr_term, ncit_code) AS (
          |   SELECT * FROM (VALUES $decPrSqlValues) v(dec_code, pr_code, pr_term, ncit_code)),
          | ocg(oc_code, ncit_code) AS (SELECT * FROM (VALUES $ocGroundSqlValues) v(oc_code, ncit_code)),
+         | ncitst(ncit_code, st_code) AS (SELECT * FROM (VALUES $ncitStSqlValues) v(ncit_code, st_code)),
          | syn(code, term) AS (SELECT * FROM (VALUES $synonymSqlValues) v(code, term)),
          | ed AS (
          |   SELECT DISTINCT pv_code AS s, ncit_code AS o FROM pv
@@ -2973,6 +2996,7 @@ object SparkEntry {
          |   UNION SELECT cde_code, dec_code FROM decoc
          |   UNION SELECT dec_code, oc_code FROM decoc
          |   UNION SELECT dec_code, pr_code FROM decpr
+         |   UNION SELECT ncit_code, st_code FROM ncitst
          |   UNION SELECT code, term FROM syn),
          | und AS (SELECT s AS a, o AS b FROM ed WHERE s <> o
          |         UNION SELECT o, s FROM ed WHERE s <> o),
@@ -3448,14 +3472,17 @@ object SparkEntry {
          |   SELECT * FROM (VALUES $cdeVdmSqlValues) v(cde_code, cde_term, vdm_code)),
          | vdmpv(vdm_code, pv_code) AS (SELECT * FROM (VALUES $vdmPvSqlValues) v(vdm_code, pv_code)),
          | decoc(cde_code, dec_code, oc_code, oc_term) AS (
-         |   SELECT * FROM (VALUES $decOcSqlValues) v(cde_code, dec_code, oc_code, oc_term))
+         |   SELECT * FROM (VALUES $decOcSqlValues) v(cde_code, dec_code, oc_code, oc_term)),
+         | ncitst(ncit_code, st_code) AS (SELECT * FROM (VALUES $ncitStSqlValues) v(ncit_code, st_code))
          |SELECT DISTINCT c.cde_code AS cde, c.vdm_code AS vdm,
-         |  vp.pv_code AS pv, p.ncit_code AS ncit, d.dec_code AS dec
+         |  vp.pv_code AS pv, p.ncit_code AS ncit, d.dec_code AS dec,
+         |  ns.st_code AS stype
          |FROM cde c
          |JOIN vdmpv vp ON vp.vdm_code = c.vdm_code
          |JOIN pv p ON p.pv_code = vp.pv_code
          |JOIN decoc d ON d.cde_code = c.cde_code
-         |ORDER BY cde, vdm, pv, ncit, dec""".stripMargin,
+         |JOIN ncitst ns ON ns.ncit_code = p.ncit_code
+         |ORDER BY cde, vdm, pv, ncit, dec, stype""".stripMargin,
 
     // recursive-CTE reachability over the identical directed edge
     // union Triples.baseEdges builds (no synonym edges)
@@ -3471,6 +3498,7 @@ object SparkEntry {
          | decpr(dec_code, pr_code, pr_term, ncit_code) AS (
          |   SELECT * FROM (VALUES $decPrSqlValues) v(dec_code, pr_code, pr_term, ncit_code)),
          | ocg(oc_code, ncit_code) AS (SELECT * FROM (VALUES $ocGroundSqlValues) v(oc_code, ncit_code)),
+         | ncitst(ncit_code, st_code) AS (SELECT * FROM (VALUES $ncitStSqlValues) v(ncit_code, st_code)),
          | ed AS (
          |   SELECT DISTINCT pv_code AS s, ncit_code AS o FROM pv
          |   UNION SELECT oc_code, ncit_code FROM ocg
@@ -3479,7 +3507,8 @@ object SparkEntry {
          |   UNION SELECT vdm_code, pv_code FROM vdmpv
          |   UNION SELECT cde_code, dec_code FROM decoc
          |   UNION SELECT dec_code, oc_code FROM decoc
-         |   UNION SELECT dec_code, pr_code FROM decpr),
+         |   UNION SELECT dec_code, pr_code FROM decpr
+         |   UNION SELECT ncit_code, st_code FROM ncitst),
          | cl(src, dst) AS (
          |   SELECT s, o FROM ed WHERE s <> o
          |   UNION

@@ -32,7 +32,10 @@ final case class ConceptDict(
     hasDec: Dataset[DictEdge],         // cde -> dec
     hasOc: Dataset[DictEdge],          // dec -> oc
     pr: DataFrame,                     // (code, term) — DEC Property label
-    hasPr: Dataset[DictEdge]) {        // dec -> pr
+    hasPr: Dataset[DictEdge],          // dec -> pr
+    st: DataFrame,                     // (code, term) — SemanticType label
+                                       // (reference synonym_tool.py:90-96)
+    hasSt: Dataset[DictEdge]) {        // ncit -> st (HAS_SEMANTIC_TYPE)
 
   /** (norm surface, code, kind) for every linkable surface: NCIT
     * preferred terms + synonyms + PV terms. Used for the exact/synonym
@@ -82,7 +85,9 @@ object ConceptDict {
       hasDec = t("has_dec").as[DictEdge],
       hasOc = t("has_oc").as[DictEdge],
       pr = t("pr"),
-      hasPr = t("has_pr").as[DictEdge])
+      hasPr = t("has_pr").as[DictEdge],
+      st = t("st"),
+      hasSt = t("has_st").as[DictEdge])
   }
 
   /** Persist all tables (partitioned layout mirrors the production
@@ -102,5 +107,7 @@ object ConceptDict {
     d.hasOc.write.mode("overwrite").parquet(s"$dir/has_oc")
     d.pr.write.mode("overwrite").parquet(s"$dir/pr")
     d.hasPr.write.mode("overwrite").parquet(s"$dir/has_pr")
+    d.st.write.mode("overwrite").parquet(s"$dir/st")
+    d.hasSt.write.mode("overwrite").parquet(s"$dir/has_st")
   }
 }

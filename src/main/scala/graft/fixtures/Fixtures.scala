@@ -163,6 +163,45 @@ object Fixtures {
     ("OC01", "C9305"),  // neoplasm -> malignant neoplasm
     ("OC03", "C40625")) // receptor -> estrogen receptor status
 
+  /** SemanticType vertices (code, type name) — the UMLS-style typing
+    * label of reference synonym_tool.py:90-96:
+    * (n:NCIT {term:"Lung Carcinoma"})-[:HAS_SEMANTIC_TYPE]->
+    * (m:SemanticType) RETURN m.type => "Neoplastic Process". */
+  val stRows: Seq[(String, String)] = Seq(
+    ("ST01", "neoplastic process"),
+    ("ST02", "disease or syndrome"),
+    ("ST03", "sign or symptom"),
+    ("ST04", "finding"),
+    ("ST05", "therapeutic or preventive procedure"),
+    ("ST06", "organism attribute"),
+    ("ST07", "quantitative concept"),
+    ("ST08", "population group"),
+    ("ST09", "amino acid peptide or protein"))
+
+  /** NCIT -> SemanticType assignment (HAS_SEMANTIC_TYPE edges): every
+    * fixture NCIT concept carries exactly one type. */
+  val ncitSt: Seq[(String, String)] = Seq(
+    "C4878" -> "ST01", "C4872" -> "ST01", "C2926" -> "ST01",
+    "C3058" -> "ST01", "C2955" -> "ST01", "C4911" -> "ST01",
+    "C7541" -> "ST01", "C9305" -> "ST01", "C48885" -> "ST01",
+    "C3117" -> "ST02", "C3008" -> "ST02", "C2985" -> "ST02",
+    "C26747" -> "ST02", "C34830" -> "ST02", "C3247" -> "ST02",
+    "C50542" -> "ST02", "C34797" -> "ST02", "C26688" -> "ST02",
+    "C2991" -> "ST02",
+    "C3036" -> "ST03", "C3262" -> "ST03", "C2977" -> "ST03",
+    "C3371" -> "ST03", "C50577" -> "ST03",
+    "C40625" -> "ST04", "C28554" -> "ST04", "C37987" -> "ST04",
+    "C17998" -> "ST04", "C49488" -> "ST04", "C49487" -> "ST04",
+    "C25298" -> "ST04", "C62656" -> "ST04", "C18016" -> "ST04",
+    "C15632" -> "ST05", "C15313" -> "ST05", "C16423" -> "ST05",
+    "C15206" -> "ST05",
+    "C25200" -> "ST06", "C25208" -> "ST06", "C25301" -> "ST06",
+    "C16576" -> "ST06", "C20197" -> "ST06",
+    "C71104" -> "ST07", "C64848" -> "ST07", "C105586" -> "ST07",
+    "C25158" -> "ST07",
+    "C41260" -> "ST08", "C16352" -> "ST08", "C41261" -> "ST08",
+    "C1512" -> "ST09")
+
   def dict(spark: SparkSession): ConceptDict = {
     import spark.implicits._
     val ncit = ncitRows.map { case (code, term, defn, _) =>
@@ -198,8 +237,10 @@ object Fixtures {
     val hasDec = decOc.map { case (c, d, _, _) => DictEdge(c, d) }.toDS()
     val hasOc = decOc.map { case (_, d, o, _) => DictEdge(d, o) }.distinct.toDS()
     val hasPr = decPr.map { case (d, p, _, _) => DictEdge(d, p) }.toDS()
+    val st = stRows.toDF("code", "term")
+    val hasSt = ncitSt.map { case (n, s) => DictEdge(n, s) }.toDS()
     ConceptDict(ncit, pv, cde, vdm, dec, oc, syns, hasConcept, hasVdm, hasPv,
-      hasDec, hasOc, pr, hasPr)
+      hasDec, hasOc, pr, hasPr, st, hasSt)
   }
 
   // ---- transcript synthesis ----

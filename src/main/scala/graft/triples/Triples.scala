@@ -63,10 +63,12 @@ object Triples {
     * :224; labels at README.md:116-124; full relationship set incl.
     * HAS_PR in reference schema.png): HAS_CONCEPT ({PV,OC,PR}->NCIT),
     * HAS_VDM (CDE->VDM), HAS_PV (VDM->PV), HAS_DEC (CDE->DEC),
-    * HAS_OC (DEC->OC), HAS_PR (DEC->PR). MAPS_TO is the flatten
-    * DERIVED from these; the base edges ship alongside it so a
-    * consumer of the materialized tables can run every reference
-    * traversal (J3/J4/J5) without the in-memory ConceptDict. */
+    * HAS_OC (DEC->OC), HAS_PR (DEC->PR), HAS_SEMANTIC_TYPE
+    * (NCIT->SemanticType, reference synonym_tool.py:90-96). MAPS_TO
+    * is the flatten DERIVED from these; the base edges ship alongside
+    * it so a consumer of the materialized tables can run every
+    * reference traversal (J3/J4/J5) without the in-memory
+    * ConceptDict. */
   def baseEdges(spark: SparkSession, dict: ConceptDict): DataFrame = {
     import spark.implicits._
     def e(ds: Dataset[graft.model.DictEdge], pred: String): DataFrame =
@@ -77,6 +79,7 @@ object Triples {
       .unionByName(e(dict.hasDec, "HAS_DEC"))
       .unionByName(e(dict.hasOc, "HAS_OC"))
       .unionByName(e(dict.hasPr, "HAS_PR"))
+      .unionByName(e(dict.hasSt, "HAS_SEMANTIC_TYPE"))
       .distinct()
   }
 
@@ -161,6 +164,8 @@ object Triples {
         lit(null).cast("string").as("definition")))
       .unionByName(dict.pr.select($"code", lit("PR").as("label"), $"term",
         lit(null).cast("string").as("definition")))
+      .unionByName(dict.st.select($"code", lit("SemanticType").as("label"),
+        $"term", lit(null).cast("string").as("definition")))
     val syn = dict.synonyms
       .select($"term".as("code"), lit("SYN").as("label"), $"term",
         lit(null).cast("string").as("definition"))

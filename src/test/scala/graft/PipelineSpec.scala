@@ -67,7 +67,8 @@ class PipelineSpec extends SparkTestBase {
     val t = result.triples.cache()
     val preds = t.select($"pred").distinct().as[String].collect().toSet
     assert(preds == Set("LINKED_TO", "MAPS_TO", "HAS_SYNONYM", "SAME_AS",
-      "HAS_CONCEPT", "HAS_VDM", "HAS_PV", "HAS_DEC", "HAS_OC", "HAS_PR"))
+      "HAS_CONCEPT", "HAS_VDM", "HAS_PV", "HAS_DEC", "HAS_OC", "HAS_PR",
+      "HAS_SEMANTIC_TYPE"))
     // LINKED_TO objects must be fixed points of the canonical map
     val nonCanon = t.filter($"pred" === "LINKED_TO")
       .join(result.canonical.withColumnRenamed("code", "obj"), "obj")

@@ -34,7 +34,9 @@ class SemanticNcitSearchSpec extends SparkTestBase {
       hasDec = Seq.empty[DictEdge].toDS(),
       hasOc = Seq.empty[DictEdge].toDS(),
       pr = Seq.empty[(String, String)].toDF("code", "term"),
-      hasPr = Seq.empty[DictEdge].toDS())
+      hasPr = Seq.empty[DictEdge].toDS(),
+      st = Seq.empty[(String, String)].toDF("code", "term"),
+      hasSt = Seq.empty[DictEdge].toDS())
   }
 
   test("pv search: chainless PVs drop (inner J3); one row per (pv, cde) path") {

@@ -16,8 +16,9 @@ class TripleTableSpec extends SparkTestBase {
     val preds = new java.io.File(dir).listFiles().map(_.getName)
       .filter(_.startsWith("pred=")).sorted
     assert(preds.sameElements(Array("pred=HAS_CONCEPT", "pred=HAS_DEC",
-      "pred=HAS_OC", "pred=HAS_PR", "pred=HAS_PV", "pred=HAS_SYNONYM",
-      "pred=HAS_VDM", "pred=LINKED_TO", "pred=MAPS_TO", "pred=SAME_AS")))
+      "pred=HAS_OC", "pred=HAS_PR", "pred=HAS_PV", "pred=HAS_SEMANTIC_TYPE",
+      "pred=HAS_SYNONYM", "pred=HAS_VDM", "pred=LINKED_TO", "pred=MAPS_TO",
+      "pred=SAME_AS")))
     // predicate filter becomes a partition filter (no data read from
     // other predicates)
     val q = spark.read.parquet(dir).filter($"pred" === "LINKED_TO")
@@ -38,7 +39,8 @@ class TripleTableSpec extends SparkTestBase {
     val labels = new java.io.File(s"$dir/vertices").listFiles().map(_.getName)
       .filter(_.startsWith("label=")).sorted
     assert(labels.sameElements(Array("label=CDE", "label=DEC", "label=NCIT",
-      "label=OC", "label=PR", "label=PV", "label=SYN", "label=VDM")))
+      "label=OC", "label=PR", "label=PV", "label=SYN", "label=SemanticType",
+      "label=VDM")))
     // label filter prunes partitions
     val v = spark.read.parquet(s"$dir/vertices").filter($"label" === "NCIT")
     val plan = v.queryExecution.executedPlan.toString
