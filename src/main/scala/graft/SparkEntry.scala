@@ -48,6 +48,19 @@ object SparkEntry {
       |  CASE WHEN doc_id % 3 = 2 THEN 'tool_' || (doc_id % 5) END AS tool
       |FROM documents""".stripMargin
 
+  /** Shared by kg_mention_detect (batch) and streaming_mention_parity
+    * (the same extraction through Structured Streaming) — one oracle,
+    * two execution engines. Lazy: references kgTermsSqlValues, which
+    * is declared further down this object. */
+  private lazy val mentionDetectSql: String =
+    s"""WITH t AS ($transcriptsSql),
+       | d(code, term) AS (SELECT * FROM (VALUES $kgTermsSqlValues) v(code, term))
+       |SELECT conv_id, turn_idx, term,
+       | len(regexp_extract_all(lower(t.text), '\\b' || d.term || '\\b')) AS n
+       |FROM t, d
+       |WHERE len(regexp_extract_all(lower(t.text), '\\b' || d.term || '\\b')) > 0
+       |ORDER BY conv_id, turn_idx, term""".stripMargin
+
   /** Time-stamped (concept, MENTIONED_IN, conv) triple observations —
     * one row per (conversation, turn, concept) mention with the turn's
     * exact epoch seconds; shared by the temporal-scoping queries. */
@@ -1899,7 +1912,101 @@ object SparkEntry {
           "doc_id", "source",
           Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.0),
           defaultWeight = 0.75)
-        .orderBy(col("doc_id"), col("epoch")))
+        .orderBy(col("doc_id"), col("epoch"))),
+
+    // ======== streaming executions under the batch oracle (§2.8) ====
+
+    // Structured Streaming event-time windowed aggregation, run to
+    // completion with Trigger.AvailableNow into a memory sink
+    // (StreamingIngest.runAvailableNow) — a REAL streaming execution
+    // (StreamExecution, micro-batch planner, stateful agg operator)
+    // whose result sits under the same DuckDB oracle as the batch
+    // operators. Complete output mode: every window emitted, no
+    // late-data boundary to reconcile. Tumbling windows align to the
+    // epoch in both engines, so the oracle is integer floor division
+    // on epoch micros.
+    "streaming_windowed_counts" -> ((s, dir) => {
+      val ev = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        // glob, not bare file path: the file stream source requires a
+        // directory or pattern (basePath must be a directory)
+        .parquet(s"$dir/events.*")
+      val agg = ev
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        // parquet ts is NTZ (no UTC adjustment in the file's metadata);
+        // session tz is UTC, so the NTZ->LTZ cast yields the same epoch
+        // the oracle's epoch_us computes on the naive value
+        .select(unix_micros(col("window.start").cast("timestamp"))
+            .as("window_start_us"),
+          col("event_type"), col("n"))
+      graft.streaming.StreamingIngest.runAvailableNow(s, agg, "complete")
+        .orderBy(col("window_start_us"), col("event_type"))
+    }),
+
+    // the KG pipeline's front stage (broadcast Aho–Corasick mention
+    // detection) executed ON A STREAM of the same transcript table
+    // kg_mention_detect reads in batch — same flatMap, same grouped
+    // output, same oracle SQL; proves the extraction is
+    // streaming-safe (stateless flatMap + complete-mode count) with
+    // value-identical results, not just row counts
+    "streaming_mention_parity" -> ((s, dir) => {
+      import s.implicits._
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft-stream-transcripts").toString
+      transcripts(s, dir).write.mode("overwrite").parquet(staged)
+      val ac = s.sparkContext.broadcast(
+        graft.dict.AhoCorasick.build(kgTerms.map(_._2)))
+      val turns = s.readStream
+        .schema(graft.streaming.StreamingIngest.turnSchema).parquet(staged)
+      val mentions = turns.select(col("conv_id"), col("turn_idx"), col("text"))
+        .as[(String, Int, String)]
+        .flatMap { case (cid, ti, text) =>
+          ac.value.findMatches(text).map { case (b, e) =>
+            (cid, ti, text.substring(b, e).toLowerCase)
+          }
+        }
+        .toDF("conv_id", "turn_idx", "term")
+        .groupBy(col("conv_id"), col("turn_idx"), col("term"))
+        .agg(count(lit(1)).as("n"))
+      graft.streaming.StreamingIngest.runAvailableNow(s, mentions, "complete")
+        .orderBy(col("conv_id"), col("turn_idx"), col("term"))
+    }),
+
+    // ======== sinks round-tripped under the oracle (S4/S5) ========
+
+    // S4 training-data sink: date-partitioned JSON append
+    // (Sinks.appendTrainingJson) written to a fresh dir and read
+    // back — the oracle checks the ROUND-TRIP (partition derivation,
+    // JSON encode/decode, partition-column recovery), not just the
+    // projection. dt comes back via partition discovery (inferred
+    // integer, cast to the string the oracle derives with strftime).
+    "sink_training_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-sink-training").toString + "/table"
+      graft.sources.Sinks.appendTrainingJson(
+        T(s, dir, "events").select("event_id", "event_type", "ts"), "ts", out)
+      s.read.json(out)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("dt").cast("string").as("dt"))
+        .orderBy(col("event_id"))
+    }),
+
+    // S5 export sink: single-file pretty JSON export
+    // (Sinks.exportJson) of a top-10 result, read back and compared
+    // value-exact — counts survive the JSON number round-trip
+    // losslessly (int64)
+    "sink_export_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-sink-export").toString + "/export"
+      val top = T(s, dir, "events")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type")).limit(10)
+      graft.sources.Sinks.exportJson(top, out)
+      s.read.json(out).select(col("event_type"), col("n").cast("long").as("n"))
+        .orderBy(col("n").desc, col("event_type"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2136,14 +2243,24 @@ object SparkEntry {
          | CAST(sum(length(text)) AS BIGINT) AS total_chars
          |FROM t GROUP BY conv_id ORDER BY conv_id""".stripMargin,
 
-    "kg_mention_detect" ->
-      s"""WITH t AS ($transcriptsSql),
-         | d(code, term) AS (SELECT * FROM (VALUES $kgTermsSqlValues) v(code, term))
-         |SELECT conv_id, turn_idx, term,
-         | len(regexp_extract_all(lower(t.text), '\\b' || d.term || '\\b')) AS n
-         |FROM t, d
-         |WHERE len(regexp_extract_all(lower(t.text), '\\b' || d.term || '\\b')) > 0
-         |ORDER BY conv_id, turn_idx, term""".stripMargin,
+    "kg_mention_detect" -> mentionDetectSql,
+
+    // identical extraction executed through Structured Streaming
+    // (AvailableNow + memory sink) — same oracle by construction
+    "streaming_mention_parity" -> mentionDetectSql,
+
+    "streaming_windowed_counts" ->
+      """SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+        | event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "sink_training_roundtrip" ->
+      """SELECT event_id, event_type, strftime(ts, '%Y%m%d') AS dt
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sink_export_roundtrip" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type LIMIT 10""".stripMargin,
 
     "kg_entity_link" ->
       s"""WITH t AS ($transcriptsSql),

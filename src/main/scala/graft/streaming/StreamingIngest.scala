@@ -103,6 +103,35 @@ object StreamingIngest {
       .start()
   }
 
+  private val memSinkId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Run a streaming frame to completion under `Trigger.AvailableNow`
+    * into a uniquely-named in-memory sink and return the result as a
+    * BATCH DataFrame — the bridge that lets a bounded streaming
+    * execution sit under the same DuckDB oracle as every batch
+    * operator (the correctness gate only sees DataFrames). The input
+    * being a static table makes the run deterministic: AvailableNow
+    * drains exactly the files present at start, then the query stops.
+    *
+    * `mode` is "complete" for aggregations (every result row emitted
+    * regardless of watermark — no late-data boundary to reconcile
+    * with a batch oracle) or "append" for stateless transforms.
+    * Checkpoint goes to a fresh temp dir per call: these runs are
+    * one-shot oracle executions, not resumable services (the
+    * resumable path with a durable checkpoint is [[tripleSink]],
+    * exercised in StreamingSpec).
+    */
+  def runAvailableNow(spark: SparkSession, sdf: DataFrame,
+                      mode: String): DataFrame = {
+    val name = s"graft_mem_sink_${memSinkId.incrementAndGet()}"
+    val ck = java.nio.file.Files.createTempDirectory("graft-oracle-ck").toString
+    val q = sdf.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Gap-based session windows on the event-time turn stream — the
     * streaming twin of the batch [[graft.ops.Sessionize]] (identical
     * gap semantics: a session extends while consecutive events are

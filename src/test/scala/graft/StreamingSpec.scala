@@ -137,4 +137,42 @@ class StreamingSpec extends SparkTestBase {
       assert(wend == end + 21600000000L) // window end = last event + gap
     }
   }
+
+  test("AvailableNow streaming catalog entries match their batch twins") {
+    val sf = "/root/testdata/sf0.001"
+    val win = SparkEntry.queries("streaming_windowed_counts")(spark, sf).collect()
+    val batchWin = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start").cast("timestamp"))
+          .as("window_start_us"),
+        col("event_type"), col("n"))
+      .orderBy(col("window_start_us"), col("event_type")).collect()
+    assert(win.nonEmpty && win.sameElements(batchWin))
+
+    val streamedMentions =
+      SparkEntry.queries("streaming_mention_parity")(spark, sf).collect()
+    val batchMentions =
+      SparkEntry.queries("kg_mention_detect")(spark, sf).collect()
+    assert(streamedMentions.nonEmpty &&
+      streamedMentions.sameElements(batchMentions))
+  }
+
+  test("sink round-trip catalog entries preserve values through JSON") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+
+    val rt = SparkEntry.queries("sink_training_roundtrip")(spark, sf)
+    assert(rt.count() == ev.count()) // every row survives the round-trip
+    val first = rt.orderBy("event_id").head()
+    val firstEv = ev.orderBy("event_id")
+      .select(col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyyMMdd").as("dt")).head()
+    assert(first == firstEv) // values (incl. recovered partition col) intact
+
+    val ex = SparkEntry.queries("sink_export_roundtrip")(spark, sf).collect()
+    val bx = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type")).limit(10).collect()
+    assert(ex.nonEmpty && ex.sameElements(bx))
+  }
 }
