@@ -1974,6 +1974,30 @@ object SparkEntry {
         .orderBy(col("conv_id"), col("turn_idx"), col("term"))
     }),
 
+    // session windows through the STREAMING state store (the
+    // merging-session operator, not the tumbling one) under the batch
+    // oracle — complete mode, so no watermark eviction to reconcile;
+    // 12h gap over the events table gives a real merge/split mix
+    // (~3.3k sessions, up to 18 events merged, at sf0.01). Boundary
+    // semantics pinned: session_window splits at diff >= gap, so the
+    // oracle's lag-flag uses >= (the batch Sessionize op splits at
+    // > gap — divergence documented there and in StreamingSpec).
+    "streaming_session_parity" -> ((s, dir) => {
+      val ev = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$dir/events.*")
+      val agg = ev
+        .groupBy(session_window(col("ts"), "12 hours").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          unix_micros(min(col("ts")).cast("timestamp")).as("first_us"),
+          unix_micros(max(col("ts")).cast("timestamp")).as("last_us"))
+        .select(col("user_id"), col("n"), col("first_us"), col("last_us"))
+      graft.streaming.StreamingIngest.runAvailableNow(s, agg, "complete")
+        .orderBy(col("user_id"), col("first_us"))
+    }),
+
     // ======== sinks round-tripped under the oracle (S4/S5) ========
 
     // S4 training-data sink: date-partitioned JSON append
@@ -2253,6 +2277,22 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
         | event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "streaming_session_parity" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts) >= 43200000000
+        |    THEN 1 ELSE 0 END AS flag
+        |  FROM events),
+        | a AS (
+        |  SELECT user_id, us,
+        |    sum(flag) OVER (PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+        |  FROM g)
+        |SELECT user_id, count(*) AS n, min(us) AS first_us,
+        |  max(us) AS last_us
+        |FROM a GROUP BY user_id, sidx ORDER BY user_id, first_us""".stripMargin,
 
     "sink_training_roundtrip" ->
       """SELECT event_id, event_type, strftime(ts, '%Y%m%d') AS dt
