@@ -1914,6 +1914,17 @@ object SparkEntry {
           defaultWeight = 0.75)
         .orderBy(col("doc_id"), col("epoch"))),
 
+    // ======== token-window document chunking ========
+
+    // 32-token windows, stride 24 (8 tokens of overlap) — map-only
+    // split + explode(sequence) + slice; oracle replays the identical
+    // window arithmetic with DuckDB list slicing
+    "text_chunking" -> ((s, dir) =>
+      graft.ops.TextAnalysis.chunk(
+          T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", chunkTokens = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // ======== streaming executions under the batch oracle (§2.8) ====
 
     // Structured Streaming event-time windowed aggregation, run to
@@ -2277,6 +2288,23 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
         | event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        | s AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    1 + CAST(floor((greatest(len(toks) - 32, 0) + 23) / 24.0) AS INT) AS nc
+        |  FROM d),
+        | w AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, nc - 1)) AS i
+        |  FROM s)
+        |SELECT doc_id, i AS chunk_idx,
+        |  array_to_string(toks[i*24 + 1 : i*24 + 32], ' ') AS chunk_text,
+        |  least(n - i*24, 32) AS chunk_tokens
+        |FROM w ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "streaming_session_parity" ->
       """WITH g AS (

@@ -194,4 +194,39 @@ object TextAnalysis {
       .withColumn("dup_fraction_cms",
         r4(col("n_dup_cms").cast("double") / col("n_ngrams")))
   }
+
+  /** Fixed-size token-window chunking with stride overlap — the
+    * standard long-document preprocessing step before embedding or
+    * context packing (each chunk keeps `chunkTokens - stride` tokens
+    * of left context). Emits one row per (doc, window):
+    * (id, chunk_idx, chunk_text, chunk_tokens).
+    *
+    * Window count = 1 + ceil(max(0, n - chunkTokens) / stride), so a
+    * short document yields exactly one (possibly partial) chunk and
+    * the final window is allowed to be partial — no token is dropped
+    * and none duplicated beyond the declared overlap.
+    *
+    * 100 TB shape: pure column expressions (split + explode(sequence)
+    * + slice) — map-only, no shuffle, whole-stage codegen; output
+    * row count is input tokens / stride, a declared linear expansion
+    * (same class as word_shingles), never data-dependent blowup.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got chunkTokens=$chunkTokens stride=$stride")
+    val toks = split(trim(col(textCol)), "\\s+")
+    // integer ceil-div staged as floor((extra + stride-1)/stride);
+    // doubles are exact here (token counts << 2^53)
+    val extra = greatest(size(toks) - chunkTokens, lit(0))
+    val nChunks =
+      (lit(1) + floor((extra + lit(stride - 1)) / lit(stride))).cast("int")
+    docs.select(col(idCol), toks.as("_toks"), size(toks).as("_n"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("_toks"), col("chunk_idx") * stride + 1,
+          lit(chunkTokens)), " ").as("chunk_text"),
+        least(col("_n") - col("chunk_idx") * stride, lit(chunkTokens))
+          .as("chunk_tokens"))
+  }
 }

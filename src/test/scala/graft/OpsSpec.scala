@@ -457,4 +457,29 @@ class OpsSpec extends SparkTestBase {
       out(2).getDouble(2) == 0.0 && out(2).getDouble(3) == 0.0)
     assert(out(3).isNullAt(1) && out(3).isNullAt(2) && out(3).isNullAt(3))
   }
+
+  test("chunking: window arithmetic, overlap content, partial tail, short doc") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, 2 windows
+      (2L, (1 to 4).map(i => s"t$i").mkString(" ")),  // exactly one window
+      (3L, "solo"),                                   // short doc
+      (4L, (1 to 12).map(i => s"t$i").mkString(" "))  // boundary: 12 = 4 + 2*4
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(d, "doc_id", "text",
+        chunkTokens = 4, stride = 4) // no overlap
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4), (1L, 1, "t5 t6 t7 t8", 4),
+      (1L, 2, "t9 t10", 2))) // partial tail keeps every token once
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "t1 t2 t3 t4", 4)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, "solo", 1)))
+    assert(out.count(_._1 == 4L) == 3) // exact multiple: no empty 4th window
+
+    val overlapped = TextAnalysis.chunk(d.filter(col("doc_id") === 1L),
+        "doc_id", "text", chunkTokens = 4, stride = 2)
+      .orderBy("chunk_idx").collect().map(_.getString(2))
+    assert(overlapped.toSeq == Seq("t1 t2 t3 t4", "t3 t4 t5 t6",
+      "t5 t6 t7 t8", "t7 t8 t9 t10")) // 2-token overlap, no partial needed
+  }
 }
