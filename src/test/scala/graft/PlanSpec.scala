@@ -186,4 +186,19 @@ class PlanSpec extends SparkTestBase {
       .orderBy($"conv_id").collect()
     assert(direct.sameElements(salted))
   }
+
+  test("chunking is map-only: no exchange, inside whole-stage codegen") {
+    val p = graft.ops.TextAnalysis.chunk(
+        spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 32, stride = 24)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)      // zero shuffles
+    assert(p.contains("*(1)"), p)           // one whole-stage codegen span
+    assert(!p.contains("*(2)"), p)          // ...and only one
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    // projection pruned to the two used columns at the scan
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("source"), p)
+  }
 }
