@@ -1914,6 +1914,18 @@ object SparkEntry {
           defaultWeight = 0.75)
         .orderBy(col("doc_id"), col("epoch"))),
 
+    // ======== fixed-k-per-stratum sampling ========
+
+    // exactly 25 docs per source, selected as the k smallest Knuth
+    // buckets (prefilter + window on the k-proportional survivor set;
+    // oracle replays the pure rank contract over all rows)
+    "sample_k_per_group" -> ((s, dir) =>
+      graft.ops.Sampling.kPerGroup(
+          T(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source", k = 25)
+        .select(col("source"), col("doc_id"), col("bucket"), col("rk"))
+        .orderBy(col("source"), col("rk"))),
+
     // ======== token-window document chunking ========
 
     // 32-token windows, stride 24 (8 tokens of overlap) — map-only
@@ -2288,6 +2300,19 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
         | event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "sample_k_per_group" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    (doc_id * 2654435761) % 4294967296 AS bucket
+        |  FROM documents),
+        | r AS (
+        |  SELECT source, doc_id, bucket,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY bucket, doc_id) AS rk
+        |  FROM b)
+        |SELECT source, doc_id, bucket, rk FROM r
+        |WHERE rk <= 25 ORDER BY source, rk""".stripMargin,
 
     "text_chunking" ->
       """WITH d AS (

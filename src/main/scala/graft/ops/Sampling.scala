@@ -84,4 +84,55 @@ object Sampling {
         sequence(lit(0), col("copies") - 1))))
       .drop("copies")
   }
+
+  /** Deterministic fixed-k-per-stratum sample — eval/holdout-set
+    * construction ("exactly 500 docs per source"). Contract: the k
+    * rows with the SMALLEST Knuth buckets per stratum, ties broken by
+    * id — a pure function of the id set, so the selected sample is
+    * reproducible across runs, engines, partitionings and retries
+    * (same portability contract as [[stratified]]); a stratum with
+    * fewer than k rows returns all of them.
+    *
+    * Scale shape — the naive form (rank window over the whole corpus)
+    * fully sorts every stratum and cannot be skew-split (AQE does not
+    * split window partitions; one 90%-of-corpus language would sort
+    * 90 TB on one task chain). Instead: a MAP-ONLY bucket prefilter
+    * keeps rows below ~`safety`·k/n of the hash range (expected
+    * `safety`·k survivors per stratum, n from one tiny broadcast
+    * count), and the exact rank window runs on that k-proportional
+    * survivor set only. The prefilter undershooting min(k, n) for
+    * some stratum is Chernoff-suppressed (P ≤ exp(-0.77·(safety-1)²/
+    * safety·k) ≈ e^-150 at defaults) and GUARDED: a deterministic
+    * require fails the job rather than silently returning a short
+    * sample, and the fix is raising `safety` (cost: linearly more
+    * survivor rows, still ~k-proportional).
+    *
+    * @return original columns plus (bucket, rk) for auditability,
+    *         rk = 1-based rank within the stratum.
+    */
+  def kPerGroup(docs: DataFrame, idCol: String, strataCol: String,
+                k: Int, safety: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(safety >= 2, s"safety factor must be >= 2, got $safety")
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+    // threshold >= Mod (keep all) whenever n <= safety*k — small
+    // strata never prefilter, so the guard below can only trip on the
+    // Chernoff tail of a genuinely large stratum
+    val thr = ceil(lit(Mod.toDouble) * safety * k / col("_n")).cast("long")
+    val pre = docs.withColumn("bucket", bucket(col(idCol)))
+      .join(broadcast(counts), Seq(strataCol))
+      .filter(col("bucket") < thr)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("bucket"), col(idCol))
+    val ranked = pre.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val short = ranked.groupBy(col(strataCol), col("_n"))
+      .agg(count(lit(1)).as("_got"))
+      .filter(col("_got") < least(lit(k.toLong), col("_n")))
+      .limit(1).collect()
+    require(short.isEmpty,
+      s"kPerGroup prefilter undershot min(k, n) for stratum " +
+        s"${short.headOption}; raise safety (= $safety)")
+    ranked.drop("_n")
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.ops.{Ann, Dedup, Multimodal, Sampling, TextAnalysis}
 
 class OpsSpec extends SparkTestBase {
   import spark.implicits._
@@ -481,5 +481,27 @@ class OpsSpec extends SparkTestBase {
       .orderBy("chunk_idx").collect().map(_.getString(2))
     assert(overlapped.toSeq == Seq("t1 t2 t3 t4", "t3 t4 t5 t6",
       "t5 t6 t7 t8", "t7 t8 t9 t10")) // 2-token overlap, no partial needed
+  }
+
+  test("k-per-group sampling: exact counts, smallest buckets, short strata") {
+    val d = (0L until 200L).map(i => (i, if (i % 4 == 0) "big" else "bigger"))
+      .toDF("id", "s")
+      .unionByName(Seq((1000L, "tiny"), (1001L, "tiny")).toDF("id", "s"))
+    val out = Sampling.kPerGroup(d, "id", "s", k = 10, safety = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byGroup = out.groupBy(_._1)
+    assert(byGroup("big").length == 10 && byGroup("bigger").length == 10)
+    assert(byGroup("tiny").length == 2) // n < k -> all rows, rk dense
+    assert(byGroup("tiny").map(_._4).sorted.toSeq == Seq(1, 2))
+    // selected = the k smallest buckets of the stratum (brute-force check)
+    val bruteBig = d.filter(col("s") === "big")
+      .withColumn("b", Sampling.bucket(col("id")))
+      .orderBy(col("b"), col("id")).limit(10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(byGroup("big").map(_._2).toSet == bruteBig)
+    // determinism: second run selects the identical ids
+    val again = Sampling.kPerGroup(d, "id", "s", k = 10, safety = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == out.map(t => (t._1, t._2)).toSet)
   }
 }
