@@ -1914,6 +1914,22 @@ object SparkEntry {
           defaultWeight = 0.75)
         .orderBy(col("doc_id"), col("epoch"))),
 
+    // ======== leakage-safe split assignment ========
+
+    // train/val/test split keyed on conv_id so every turn of a
+    // conversation lands in the same split (the row-wise version is
+    // the classic eval-contamination bug); summarized per split for a
+    // compact oracle that still pins every row's assignment (group
+    // counts + bucket checksum)
+    "sample_split_assign" -> ((s, dir) =>
+      graft.ops.Sampling.assignSplit(transcripts(s, dir), "conv_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("conv_id")).as("n_convs"),
+          count(lit(1)).as("n_turns"),
+          sum(col("split_bucket")).as("bucket_sum"))
+        .orderBy(col("split"))),
+
     // ======== fixed-k-per-stratum sampling ========
 
     // exactly 25 docs per source, selected as the k smallest Knuth
@@ -2300,6 +2316,21 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
         | event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "sample_split_assign" -> {
+      val h = SketchOracles.hash64_expr.replace("__EXPR__", "conv_id")
+      // unsigned-HUGEINT hash % 2^32 == Spark's pmod(signed, 2^32)
+      // (2^64 is a multiple of 2^32); thresholds floor(0.8 * 2^32)
+      // and floor(0.9 * 2^32)
+      s"""WITH t AS ($transcriptsSql),
+         | b AS (SELECT conv_id, ($h) % 4294967296 AS bucket FROM t)
+         |SELECT CASE WHEN bucket < 3435973836 THEN 'train'
+         |            WHEN bucket < 3865470566 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns,
+         |  CAST(sum(bucket) AS BIGINT) AS bucket_sum
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "sample_k_per_group" ->
       """WITH b AS (

@@ -135,4 +135,43 @@ object Sampling {
         s"${short.headOption}; raise safety (= $safety)")
     ranked.drop("_n")
   }
+
+  /** Leakage-safe train/val/test split assignment: the split is a
+    * pure function of the GROUP key (conversation id, document
+    * source, ...), so every row of a group lands in the same split —
+    * the invariant that prevents cross-split leakage when rows are
+    * correlated (turns of one conversation, chunks of one document).
+    * Splitting row-wise instead is the classic eval-contamination
+    * bug; this operator makes the group-consistent form the easy one.
+    *
+    * Deterministic and engine-portable: bucket = pmod(hash64_str(
+    * group), 2^32) (same FNV-1a + avalanche hash the sketches
+    * replay in the oracle), compared against cumulative integer
+    * thresholds floor(cum_fraction * 2^32) — never a float boundary.
+    * Reproducible across runs, engines, partitionings and retries.
+    *
+    * Scale shape: map-only — one hash + a literal threshold chain
+    * per row; no shuffle, no driver participation.
+    *
+    * @param splits ordered (name, fraction) list; fractions must sum
+    *               to 1 (within 1e-9)
+    * @return input plus (split_bucket, split) columns
+    */
+  def assignSplit(docs: DataFrame, groupCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0.0),
+      s"split fractions must be >= 0: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val b = pmod(graft.Functions.hash64_str(col(groupCol).cast("string")),
+      lit(Mod))
+    val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c * Mod).toLong)
+    val named = splits.map(_._1).zip(thresholds)
+    val expr = named.init.reverse
+      .foldLeft(lit(named.last._1): Column) { case (acc, (name, thr)) =>
+        when(b < thr, lit(name)).otherwise(acc)
+      }
+    docs.withColumn("split_bucket", b).withColumn("split", expr)
+  }
 }

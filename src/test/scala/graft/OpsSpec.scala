@@ -504,4 +504,29 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(again == out.map(t => (t._1, t._2)).toSet)
   }
+
+  test("split assignment: group-consistent, validated fractions, deterministic") {
+    val d = (0L until 300L).map(i => (i, s"conv-${i % 60}"))
+      .toDF("id", "conv")
+    val out = Sampling.assignSplit(d, "conv",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // every group lands in exactly one split (the leakage invariant)
+    assert(out.groupBy("conv").agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") =!= 1).count() == 0)
+    // all three splits present at 60 groups and total preserved
+    val bySplit = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit.values.sum == 300L)
+    assert(bySplit("train") > bySplit("val")) // 0.8 dominates at 60 groups
+    // deterministic across repartitionings
+    val again = Sampling.assignSplit(d.repartition(7), "conv",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == out.select("id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(d, "conv", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }
