@@ -14,11 +14,19 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** Default shuffle partition count: match core count locally; on a
-    * real cluster this would be ~2-3x total executor cores. */
+    * real cluster this would be ~2-3x total executor cores.
+    *
+    * `SPARK_GRAFT_MASTER` (opt-in, unset in the driver contract)
+    * overrides the caller's master so the UNCHANGED mains can be run
+    * under `spark-submit --master local-cluster[N,cores,mem]` — real
+    * separate executor JVMs with cross-process shuffle/broadcast and
+    * task serialization, the closest in-sandbox realization of a
+    * multi-executor cluster. Without it the builder's .master() would
+    * silently win over spark-submit's --master. */
   def build(master: String = "local[*]", shufflePartitions: Int = 32,
             appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
-      .master(master)
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", master))
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -19,6 +19,21 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** JVM-exit cleanup for per-invocation temp dirs whose files are
+    * still lazily referenced by the returned DataFrame (the JSON sink
+    * round-trips): repeated bench/verify/scale-step runs in one
+    * session must not accumulate a directory per call forever. */
+  private def rmTreeOnExit(path: String): String = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      rmTree(new java.io.File(path))))
+    path
+  }
+
   /** Transcript table of exactly the BASELINE.json input_hint shape,
     * derived deterministically from the driver's `documents` table so
     * DuckDB can derive the identical table for oracles. */
@@ -1159,11 +1174,13 @@ object SparkEntry {
       GraftSession.prepare(s)
       Dedup.minHashLsh(T(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     "dedup_simhash" -> ((s, dir) => {
       GraftSession.prepare(s)
       Dedup.simHash(T(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // composed LSH-then-verify (the 100 TB near-dup pipeline shape):
@@ -1178,6 +1195,7 @@ object SparkEntry {
         estThreshold = 0.5, threshold = 0.7)
         .select(col("id_a"), col("id_b"), r4(col("est_jaccard")).as("est_jaccard"),
           r4(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // exact verify-side of near-dup detection. Bounded demo subset:
@@ -1189,12 +1207,14 @@ object SparkEntry {
       Dedup.ngramJaccard(T(s, dir, "documents").filter(col("doc_id") < 600),
         "doc_id", "text", threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     "dedup_embedding_cosine" -> ((s, dir) => {
       GraftSession.prepare(s)
       Dedup.embeddingCosine(T(s, dir, "embeddings"), "vec_id", "embedding",
         "label", threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // ======== training-data ops: similarity search ========
@@ -1297,6 +1317,7 @@ object SparkEntry {
       val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.8)
       Dedup.clusterCanonical(s, docs, "doc_id", pairs)
         .withColumn("is_canonical", col("is_canonical").cast("int"))
+        .orderBy(col("doc_id"))
     }),
 
     // ======== training-data ops: benchmark decontamination ========
@@ -1308,6 +1329,7 @@ object SparkEntry {
       Decontaminate.report(
         docs.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
         bench = docs.filter(col("doc_id") % 37 === 0), n = 3, minShared = 1)
+        .orderBy(col("doc_id"))
     }),
 
     // ======== training-data ops: deterministic stratified sampling ====
@@ -1727,6 +1749,7 @@ object SparkEntry {
         docs.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
         bench = docs.filter(col("doc_id") % 37 === 0),
         n = 3, mBits = 16, k = 3)
+        .orderBy(col("doc_id"))
     }),
 
     // ======== context-response training pairs (SFT extraction) ====
@@ -1994,6 +2017,7 @@ object SparkEntry {
       import s.implicits._
       val staged = java.nio.file.Files
         .createTempDirectory("graft-stream-transcripts").toString
+      try {
       transcripts(s, dir).write.mode("overwrite").parquet(staged)
       val ac = s.sparkContext.broadcast(
         graft.dict.AhoCorasick.build(kgTerms.map(_._2)))
@@ -2011,6 +2035,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
       graft.streaming.StreamingIngest.runAvailableNow(s, mentions, "complete")
         .orderBy(col("conv_id"), col("turn_idx"), col("term"))
+      // the memory-sink result is materialized independent of the
+      // staged files once the AvailableNow run drains, so the staged
+      // corpus is deleted EAGERLY — repeated bench/verify invocations
+      // in one session no longer accumulate a transcript copy per call
+      } finally { rmTree(new java.io.File(staged)) }
     }),
 
     // session windows through the STREAMING state store (the
@@ -2046,8 +2075,8 @@ object SparkEntry {
     // projection. dt comes back via partition discovery (inferred
     // integer, cast to the string the oracle derives with strftime).
     "sink_training_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-sink-training").toString + "/table"
+      val out = rmTreeOnExit(java.nio.file.Files
+        .createTempDirectory("graft-sink-training").toString) + "/table"
       graft.sources.Sinks.appendTrainingJson(
         T(s, dir, "events").select("event_id", "event_type", "ts"), "ts", out)
       s.read.json(out)
@@ -2061,8 +2090,8 @@ object SparkEntry {
     // value-exact — counts survive the JSON number round-trip
     // losslessly (int64)
     "sink_export_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-sink-export").toString + "/export"
+      val out = rmTreeOnExit(java.nio.file.Files
+        .createTempDirectory("graft-sink-export").toString) + "/export"
       val top = T(s, dir, "events")
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("event_type")).limit(10)

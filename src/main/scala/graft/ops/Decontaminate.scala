@@ -48,7 +48,10 @@ object Decontaminate {
     * @return (doc_id, n_shingles, n_shared, contamination) —
     *         contamination = n_shared / n_shingles, rounded to 4dp;
     *         only docs with n_shared >= minShared are returned (the
-    *         quarantine list, not a full-corpus report).
+    *         quarantine list, not a full-corpus report). Unordered:
+    *         the quarantine consumer (an anti-join against the
+    *         corpus) never needs a total sort — oracle-compared
+    *         callers add their own `orderBy`.
     */
   def report(docs: DataFrame, idCol: String, textCol: String,
              bench: DataFrame, n: Int = 3, minShared: Int = 1): DataFrame = {
@@ -68,7 +71,6 @@ object Decontaminate {
       .withColumn("contamination",
         round(col("n_shared").cast("double") / col("n_shingles"), 4))
       .select("doc_id", "n_shingles", "n_shared", "contamination")
-      .orderBy("doc_id")
   }
 
   /** Bloom-filter contamination PREfilter: the shape [[report]] takes
@@ -131,6 +133,5 @@ object Decontaminate {
       .join(exact, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
         coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"))
-      .orderBy(col("doc_id"))
   }
 }

@@ -19,7 +19,13 @@ import graft.Functions
   *  - n-gram Jaccard: inverted-index join on rare shingles;
   *  - embedding cosine: blocked pairwise scoring.
   *
-  * All pair outputs are canonical: id_a < id_b, ordered, deterministic.
+  * All pair outputs are canonical (id_a < id_b) and deterministic as
+  * SETS. Operators do NOT impose a global output order: a total sort
+  * is a range-partition exchange the production consumer (CC
+  * clustering, a survivor filter, a sink) almost never needs at
+  * 100 TB pair volume — callers that require a stable row order (the
+  * oracle-compared catalog entries) add their own `orderBy`, exactly
+  * like every other determinism device lives in the wrappers.
   */
 object Dedup {
 
@@ -49,7 +55,6 @@ object Dedup {
         sigAgreement(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** The production near-dup pipeline shape at 100 TB: LSH-then-verify.
@@ -70,7 +75,6 @@ object Dedup {
     verifyJaccard(cand, explodedTokens(docs, idCol, textCol), threshold,
         carryCols = Seq("est_jaccard"))
       .select("id_a", "id_b", "est_jaccard", "jaccard")
-      .orderBy("id_a", "id_b")
   }
 
   /** (id, ntok, token): distinct normalized tokens exploded per doc —
@@ -132,7 +136,6 @@ object Dedup {
         Functions.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Token-set Jaccard >= threshold via PREFIX-FILTERED inverted-index
@@ -154,7 +157,6 @@ object Dedup {
     val cand = prefixCandidates(toks, threshold).select("id_a", "id_b")
     verifyJaccard(cand, toks, threshold)
       .select("id_a", "id_b", "jaccard")
-      .orderBy("id_a", "id_b")
   }
 
   /** Candidate pairs (id_a, id_b, ntok_a, ntok_b) from the
@@ -186,12 +188,34 @@ object Dedup {
         explode(col("toks")).as("token")),
       threshold).select("id_a", "id_b")
 
+  /** Hard ceiling on rows per block in [[embeddingCosine]] — the
+    * "blocked, never all-pairs" contract made executable (the same
+    * device as [[graft.ops.Ann.MaxBroadcastCorpus]]): within a block
+    * the scoring IS deliberately pairwise, so one degenerate block (an
+    * empty-text cluster, a near-constant embedding bucket) would go
+    * quadratic silently. 100k rows ≈ 5e9 pairs in one block, already
+    * far past where Ann.lshTopK/ivfTopK is the right operator. */
+  val MaxBlockRows = 100000L
+
   /** Embedding near-dup pairs: cosine >= threshold, blocked by a
     * coarse partition key (`blockCol`, e.g. a cluster/label id or LSH
-    * bucket) so the pairwise join never goes all-pairs global. */
+    * bucket) so the pairwise join never goes all-pairs global.
+    * Guarded: any block larger than `maxBlockRows` fails fast (one
+    * cheap two-stage count aggregate over the block keys — never a
+    * pair is generated) instead of silently exploding quadratically. */
   def embeddingCosine(emb: DataFrame, idCol: String, vecCol: String,
-                      blockCol: String, threshold: Double = 0.95): DataFrame = {
+                      blockCol: String, threshold: Double = 0.95,
+                      maxBlockRows: Long = MaxBlockRows): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("vec"), col(blockCol).as("blk"))
+    // limit-bounded guard (mirrors Ann.bruteForceTopK): the count job
+    // aggregates (blk, n) map-side and stops at the first offender
+    val oversized = e.groupBy(col("blk")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlockRows).limit(1).collect()
+    require(oversized.isEmpty,
+      s"embeddingCosine block '${oversized.headOption.map(_.get(0)).orNull}' " +
+        s"exceeds $maxBlockRows rows (${oversized.headOption.map(_.get(1)).orNull}): " +
+        "within-block scoring is pairwise — use Ann.lshTopK or Ann.ivfTopK " +
+        "for blocks this large")
     val a = e.select(col("id").as("id_a"), col("vec").as("vec_a"), col("blk"))
     val b = e.select(col("id").as("id_b"), col("vec").as("vec_b"), col("blk"))
     a.join(b, "blk")
@@ -199,7 +223,6 @@ object Dedup {
       .withColumn("cos", Functions.cosine_sim(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-      .orderBy("id_a", "id_b")
   }
 
   /** The step every production dedup actually ends with: turn near-dup
@@ -251,6 +274,5 @@ object Dedup {
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
         (col("doc_id") === coalesce(col("canonical_id"), col("doc_id")))
           .as("is_canonical"))
-      .orderBy("doc_id")
   }
 }

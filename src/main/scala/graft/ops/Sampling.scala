@@ -103,9 +103,14 @@ object Sampling {
     * survivor set only. The prefilter undershooting min(k, n) for
     * some stratum is Chernoff-suppressed (P ≤ exp(-0.77·(safety-1)²/
     * safety·k) ≈ e^-150 at defaults) and GUARDED: a deterministic
-    * require fails the job rather than silently returning a short
-    * sample, and the fix is raising `safety` (cost: linearly more
-    * survivor rows, still ~k-proportional).
+    * in-plan assertion fails the job rather than silently returning a
+    * short sample, and the fix is raising `safety` (cost: linearly
+    * more survivor rows, still ~k-proportional). The guard rides the
+    * returned plan itself (`assert_true` over a second window on the
+    * same stratum partitioning — no extra shuffle, no extra job), so
+    * the operator stays a LAZY transform: the prefilter + rank plan
+    * executes exactly once, when the caller consumes the result —
+    * not eagerly at call time and then again downstream.
     *
     * @return original columns plus (bucket, rk) for auditability,
     *         rk = 1-based rank within the stratum.
@@ -126,14 +131,21 @@ object Sampling {
       .partitionBy(col(strataCol)).orderBy(col("bucket"), col(idCol))
     val ranked = pre.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-    val short = ranked.groupBy(col(strataCol), col("_n"))
-      .agg(count(lit(1)).as("_got"))
-      .filter(col("_got") < least(lit(k.toLong), col("_n")))
-      .limit(1).collect()
-    require(short.isEmpty,
-      s"kPerGroup prefilter undershot min(k, n) for stratum " +
-        s"${short.headOption}; raise safety (= $safety)")
-    ranked.drop("_n")
+    // undershoot guard, folded into the plan: per stratum the rows
+    // kept (= max rk on the post-filter set, same window partitioning
+    // so no second exchange) must reach min(k, n). assert_true returns
+    // null when the condition holds, so the filter keeps every row and
+    // raises — naming the stratum — the moment a Chernoff-tail
+    // undershoot materializes.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    val guard = assert_true(
+      col("_got") >= least(lit(k.toLong), col("_n")),
+      concat(lit("kPerGroup prefilter undershot min(k, n) for stratum "),
+        col(strataCol).cast("string"),
+        lit(s"; raise safety (= $safety)")))
+    ranked.withColumn("_got", max(col("rk")).over(wAll).cast("long"))
+      .filter(coalesce(guard, lit(true)))
+      .drop("_got", "_n")
   }
 
   /** Leakage-safe train/val/test split assignment: the split is a
@@ -163,6 +175,13 @@ object Sampling {
       s"split fractions must be >= 0: $splits")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    // a null group key would hash to null, fail every `b < thr` test
+    // and silently land in the LAST split — a quiet leakage-safety
+    // hole. Fail fast instead (in-plan, map-only): leakage safety is
+    // only meaningful when every row has a real group identity.
+    val keyGuard = assert_true(col(groupCol).isNotNull,
+      lit(s"assignSplit: null group key in column '$groupCol' — " +
+        "split assignment must be a function of a non-null group"))
     val b = pmod(graft.Functions.hash64_str(col(groupCol).cast("string")),
       lit(Mod))
     val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
@@ -172,6 +191,7 @@ object Sampling {
       .foldLeft(lit(named.last._1): Column) { case (acc, (name, thr)) =>
         when(b < thr, lit(name)).otherwise(acc)
       }
-    docs.withColumn("split_bucket", b).withColumn("split", expr)
+    docs.filter(coalesce(keyGuard, lit(true)))
+      .withColumn("split_bucket", b).withColumn("split", expr)
   }
 }

@@ -215,13 +215,20 @@ object TextAnalysis {
             chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
       s"need 0 < stride <= chunkTokens, got chunkTokens=$chunkTokens stride=$stride")
+    // null text yields NO chunks (Spark's greatest/least skip nulls,
+    // so an unguarded null row would emit one chunk_text=null row with
+    // chunk_tokens=chunkTokens — overstating a document that has no
+    // tokens at all, against the "no token dropped, none invented"
+    // contract). The filter is map-only and keeps the single codegen
+    // span (plan-asserted in PlanSpec).
+    val guarded = docs.filter(col(textCol).isNotNull)
     val toks = split(trim(col(textCol)), "\\s+")
     // integer ceil-div staged as floor((extra + stride-1)/stride);
     // doubles are exact here (token counts << 2^53)
     val extra = greatest(size(toks) - chunkTokens, lit(0))
     val nChunks =
       (lit(1) + floor((extra + lit(stride - 1)) / lit(stride))).cast("int")
-    docs.select(col(idCol), toks.as("_toks"), size(toks).as("_n"),
+    guarded.select(col(idCol), toks.as("_toks"), size(toks).as("_n"),
         explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
       .select(col(idCol), col("chunk_idx"),
         array_join(slice(col("_toks"), col("chunk_idx") * stride + 1,

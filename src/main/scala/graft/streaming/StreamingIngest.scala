@@ -129,7 +129,21 @@ object StreamingIngest {
       .outputMode(mode).option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    // resolve the result BEFORE cleanup: the returned DataFrame's plan
+    // captures the memory relation directly, so dropping the catalog
+    // entry (and the finished query's checkpoint dir) leaks nothing
+    // across repeated bench/verify/scale-step invocations in one
+    // session — previously every call left a temp view + a checkpoint
+    // dir behind for the life of the JVM.
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    deleteRecursively(new java.io.File(ck))
+    out
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Gap-based session windows on the event-time turn stream — the

@@ -75,35 +75,46 @@ object GraphMerge {
     val path = s"$dir/edges"
     // persist the deduped delta FIRST: its lineage can be expensive
     // (similarEdges' cosine kNN, the CC canonical map) and is
-    // otherwise re-traversed by each of the preds-collect, the
-    // anti-join, and — on a replay whose fresh set is recomputed —
-    // a third time
-    val dedup = delta.toDF().select("subj", "pred", "obj").distinct().persist()
+    // otherwise re-traversed by both the preds-collect and the
+    // anti-join+append. The delta row count rides the first
+    // materializing job as an observe() metric instead of a count job.
+    val dObs = new org.apache.spark.sql.Observation()
+    val dedup = delta.toDF().select("subj", "pred", "obj").distinct()
+      .observe(dObs, count(lit(1)).as("n")).persist()
     try {
-      val fresh =
-        if (!exists(spark, path)) dedup
-        else {
-          val preds = dedup.select("pred").distinct().collect().map(_.getString(0))
-          val existing = spark.read.parquet(path).where(col("pred").isin(preds.toSeq: _*))
-          dedup.join(existing, Seq("subj", "pred", "obj"), "left_anti")
-        }
-      // persist: the count and the write must see the same rows, and
-      // the anti-join must not recompute against a table the write is
-      // concurrently growing
-      fresh.persist()
-      try {
-        val n = fresh.count()
-        // small deltas (early batches, fixture tables) collapse to one
-        // task per pred partition instead of shuffle-partition-many
-        // near-empty files — fewer commit round-trips now, no
-        // small-files debt for every later merge's anti-join scan.
-        // Large deltas keep their parallelism.
+      if (!exists(spark, path)) {
+        // first merge: fresh = the whole deduped delta. The count job
+        // materializes the cache (and completes dObs); the write then
+        // reads the cache.
+        val n = dedup.count()
         if (n > 0) {
-          val w = if (n < 100000L) fresh.coalesce(1) else fresh
+          val w = if (n < 100000L) dedup.coalesce(1) else dedup
           w.write.mode("append").partitionBy("pred").parquet(path)
         }
         n
-      } finally { fresh.unpersist(): Unit }
+      } else {
+        // pruning literal: the delta's pred vocabulary (collect is
+        // bounded by the fixed predicate set, never corpus-sized);
+        // this job also materializes the dedup cache, firing dObs
+        val preds = dedup.select("pred").distinct().collect().map(_.getString(0))
+        val nDelta = dObs.get("n").asInstanceOf[Long]
+        val existing = spark.read.parquet(path).where(col("pred").isin(preds.toSeq: _*))
+        val fresh = dedup.join(existing, Seq("subj", "pred", "obj"), "left_anti")
+        // count + append fused into ONE pass: the appended-row count
+        // rides the write job as an observe() metric, so the anti-join
+        // is traversed exactly once (previously: persist + a count job
+        // + a cache-fed write job). Small deltas (early batches,
+        // fixture tables) collapse to one task per pred partition —
+        // fewer commit round-trips now, no small-files debt for every
+        // later merge's anti-join scan; large deltas keep their
+        // parallelism (the coalesce decision keys on the DELTA size,
+        // an upper bound on fresh, known before the write).
+        val fObs = new org.apache.spark.sql.Observation()
+        val observed = fresh.observe(fObs, count(lit(1)).as("n"))
+        val w = if (nDelta < 100000L) observed.coalesce(1) else observed
+        w.write.mode("append").partitionBy("pred").parquet(path)
+        fObs.get("n").asInstanceOf[Long]
+      }
     } finally { dedup.unpersist(): Unit }
   }
 
@@ -114,27 +125,32 @@ object GraphMerge {
     * Returns the number of new vertices appended. */
   def mergeVertices(spark: SparkSession, dir: String, delta: DataFrame): Long = {
     val path = s"$dir/vertices"
-    // same persist-the-delta-first rationale as mergeEdges
-    val dedup = delta.dropDuplicates("label", "code").persist()
+    // same persist-the-delta-first + observe-fused-count shape as
+    // mergeEdges
+    val dObs = new org.apache.spark.sql.Observation()
+    val dedup = delta.dropDuplicates("label", "code")
+      .observe(dObs, count(lit(1)).as("n")).persist()
     try {
-      val fresh =
-        if (!exists(spark, path)) dedup
-        else {
-          val labels = dedup.select("label").distinct().collect().map(_.getString(0))
-          val existing = spark.read.parquet(path)
-            .where(col("label").isin(labels.toSeq: _*))
-            .select("label", "code")
-          dedup.join(existing, Seq("label", "code"), "left_anti")
-        }
-      fresh.persist()
-      try {
-        val n = fresh.count()
-        if (n > 0) { // same small-delta coalesce as mergeEdges
-          val w = if (n < 100000L) fresh.coalesce(1) else fresh
+      if (!exists(spark, path)) {
+        val n = dedup.count()
+        if (n > 0) {
+          val w = if (n < 100000L) dedup.coalesce(1) else dedup
           w.write.mode("append").partitionBy("label").parquet(path)
         }
         n
-      } finally { fresh.unpersist(): Unit }
+      } else {
+        val labels = dedup.select("label").distinct().collect().map(_.getString(0))
+        val nDelta = dObs.get("n").asInstanceOf[Long]
+        val existing = spark.read.parquet(path)
+          .where(col("label").isin(labels.toSeq: _*))
+          .select("label", "code")
+        val fresh = dedup.join(existing, Seq("label", "code"), "left_anti")
+        val fObs = new org.apache.spark.sql.Observation()
+        val observed = fresh.observe(fObs, count(lit(1)).as("n"))
+        val w = if (nDelta < 100000L) observed.coalesce(1) else observed
+        w.write.mode("append").partitionBy("label").parquet(path)
+        fObs.get("n").asInstanceOf[Long]
+      }
     } finally { dedup.unpersist(): Unit }
   }
 

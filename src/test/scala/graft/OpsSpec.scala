@@ -282,6 +282,25 @@ class OpsSpec extends SparkTestBase {
     assert(out.map(_.valid).toSeq == Seq(true, false))
   }
 
+  test("embedding cosine dedup refuses a block beyond the pairwise ceiling") {
+    // one degenerate block (all rows share blk=0) past maxBlockRows:
+    // the guard must fail fast with the routing advice, BEFORE any
+    // pairwise row is generated
+    val emb = (0 until 20).map(i => (i.toLong, Array(1.0f, i.toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingCosine(emb, "vec_id", "embedding", "label",
+        threshold = 0.9, maxBlockRows = 10L)
+    }
+    assert(e.getMessage.contains("pairwise") &&
+      e.getMessage.contains("Ann.lshTopK"), e.getMessage)
+    // and a well-blocked input still works under the same ceiling
+    val ok = (0 until 20).map(i => (i.toLong, Array(1.0f, 0.0f), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    assert(Dedup.embeddingCosine(ok, "vec_id", "embedding", "label",
+      threshold = 0.9, maxBlockRows = 10L).count() > 0)
+  }
+
   test("cluster canonical: transitive closure over pairs, singletons kept") {
     // pairs 0-1, 1-2 but NOT 0-2 at this threshold shape: clusters
     // must still merge {0,1,2} (similarity isn't transitive; CC is)

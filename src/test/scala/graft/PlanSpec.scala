@@ -187,6 +187,107 @@ class PlanSpec extends SparkTestBase {
     assert(direct.sameElements(salted))
   }
 
+  test("unordered dedup/decontam operators plan no global sort, no range exchange") {
+    // the operators return unordered pair/report SETS (ordering lives
+    // in the oracle-compared catalog wrappers); the production path
+    // must therefore be free of the range-partition exchange + global
+    // Sort a total orderBy would cost at 100 TB pair volume
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cases = Seq(
+      "minHashLsh" -> graft.ops.Dedup.minHashLsh(docs, "doc_id", "text", threshold = 0.5),
+      "simHash" -> graft.ops.Dedup.simHash(docs, "doc_id", "text"),
+      "ngramJaccard" -> graft.ops.Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.8),
+      "embeddingCosine" -> graft.ops.Dedup.embeddingCosine(emb, "vec_id", "embedding", "label"),
+      "decontamReport" -> graft.ops.Decontaminate.report(
+        docs.filter($"doc_id" % 37 =!= 0), "doc_id", "text",
+        bench = docs.filter($"doc_id" % 37 === 0)))
+    for ((name, df) <- cases) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("rangepartitioning"),
+        s"$name must not range-partition for a global sort:\n" + p.take(3000))
+      // window-local sorts print global=false ("], false, 0"); a
+      // global Sort would print "], true, 0"
+      assert(!p.contains("], true, 0"),
+        s"$name must not plan a global Sort:\n" + p.take(3000))
+    }
+  }
+
+  test("AQE splits the skewed partition of a hot-key sort-merge join") {
+    // deliberately hot key (90% of the big side) with the thresholds
+    // lowered to fixture scale so AQE's skew-join handling — the
+    // second line of defense after explicit salting (SURVEY §4.2) —
+    // actually fires: the final adaptive plan must carry the skew
+    // marker, and the result must equal the explicitly salted join.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    try {
+      val big = spark.range(0, 50000).select(
+        when($"id" % 10 =!= 0, "hot").otherwise(concat(lit("k"), $"id" % 50))
+          .as("norm"),
+        concat(lit("payload-"), $"id").as("payload"))
+      val dim = (Seq("hot") ++ (0 until 50).map(i => s"k$i"))
+        .toDF("norm").withColumn("code", concat(lit("C"), $"norm"))
+      // max(length(payload)) keeps the payload column flowing through
+      // the exchange so the hot partition actually crosses the lowered
+      // byte threshold; the aggregation keys on `code` (not the join
+      // key) — an agg re-using the join key's partitioning would make
+      // the skew split cost an extra exchange, which AQE declines
+      // unless forced (the production shape: the candidate join's
+      // consumer is keyed differently)
+      val joined = big.join(dim, "norm")
+        .groupBy($"code").agg(count(lit(1)).as("n"),
+          max(length($"payload")).as("plen"))
+      val rows = joined.collect().sortBy(_.getString(0))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(500))
+      assert(p.contains("skew=true"),
+        "AQE skew-join split must fire on the hot key:\n" + p.take(4000))
+      // row-equality against the explicit salted two-phase aggregation
+      // over the same join, computed with skew handling out of the
+      // picture (broadcast dim: no skewed shuffle to begin with)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      val salted = graft.ops.Skew.saltedAgg(
+        big.join(broadcast(dim), "norm"), "code", 8,
+        Seq("norm", "payload"),
+        Seq(count(lit(1)).as("pc"), max(length($"payload")).as("pl")),
+        Seq(sum($"pc").as("n"), max($"pl").as("plen")))
+        .collect().sortBy(_.getString(0))
+      assert(rows.sameElements(salted),
+        "skew-split join result must equal the salted-aggregation twin")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
+  }
+
+  test("kPerGroup is a lazy transform: the guard rides the plan, no eager job") {
+    val d = (0L until 5000L).map(i => (i, s"s${i % 3}")).toDF("id", "s")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val out = graft.ops.Sampling.kPerGroup(d, "id", "s", k = 7)
+    Thread.sleep(500) // let any (wrongly) launched job register
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"kPerGroup must not run jobs at call time (was $before, now $after)")
+    // the undershoot guard is part of the returned plan itself
+    val analyzed = out.queryExecution.analyzed.toString
+    assert(analyzed.contains("assert_true"),
+      "undershoot guard must ride the returned plan:\n" + analyzed.take(2000))
+    // and the single execution still produces the exact contract
+    assert(out.groupBy("s").count().collect().forall(_.getLong(1) == 7L))
+  }
+
   test("chunking is map-only: no exchange, inside whole-stage codegen") {
     val p = graft.ops.TextAnalysis.chunk(
         spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text"),
