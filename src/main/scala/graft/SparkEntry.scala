@@ -1084,13 +1084,25 @@ object SparkEntry {
         .unionByName(Triples.similarEdges(s, dict, k = 2).drop("score"))
         .as[graft.model.Triple]
       val verts = Triples.vertices(s, dict, prepared.canonical).persist()
+      // merge producers KNOW their edge/label vocabulary (it is fixed
+      // by construction), so the hinted merges skip the per-merge
+      // preds/labels discovery job and fuse dedup+anti-join+count into
+      // the single append pass (wrong hints fail in-plan, they cannot
+      // silently duplicate)
+      val basePreds = Seq("HAS_SYNONYM", "HAS_CONCEPT", "HAS_VDM", "HAS_PV",
+        "HAS_DEC", "HAS_OC", "HAS_PR", "HAS_SEMANTIC_TYPE")
+      val vertLabels = Seq("NCIT", "PV", "CDE", "OC", "VDM", "DEC", "PR",
+        "SemanticType", "SYN")
       val steps = try Seq(
-        ("merge1_base_fresh", GraphMerge.mergeEdges(s, out, base)),
-        ("merge2_derived_fresh", GraphMerge.mergeEdges(s, out, derived)),
-        ("merge3_replay_fresh", GraphMerge.mergeEdges(s, out, derived)),
-        ("merge4_overlap_fresh", GraphMerge.mergeEdges(s, out, overlap)),
-        ("vmerge1_fresh", GraphMerge.mergeVertices(s, out, verts)),
-        ("vmerge2_replay_fresh", GraphMerge.mergeVertices(s, out, verts))
+        ("merge1_base_fresh", GraphMerge.mergeEdgesWithPreds(s, out, base, basePreds)),
+        ("merge2_derived_fresh", GraphMerge.mergeEdgesWithPreds(s, out, derived,
+          Seq("MAPS_TO", "SAME_AS"))),
+        ("merge3_replay_fresh", GraphMerge.mergeEdgesWithPreds(s, out, derived,
+          Seq("MAPS_TO", "SAME_AS"))),
+        ("merge4_overlap_fresh", GraphMerge.mergeEdgesWithPreds(s, out, overlap,
+          Seq("HAS_SYNONYM", "SIMILAR"))),
+        ("vmerge1_fresh", GraphMerge.mergeVerticesWithLabels(s, out, verts, vertLabels)),
+        ("vmerge2_replay_fresh", GraphMerge.mergeVerticesWithLabels(s, out, verts, vertLabels))
       ) finally {
         hasSyn.unpersist(); derived.unpersist(); verts.unpersist(): Unit
       }
@@ -2079,7 +2091,12 @@ object SparkEntry {
         .createTempDirectory("graft-sink-training").toString) + "/table"
       graft.sources.Sinks.appendTrainingJson(
         T(s, dir, "events").select("event_id", "event_type", "ts"), "ts", out)
-      s.read.json(out)
+      // read back with a DECLARED schema (the production contract for
+      // a table you own): no schema-inference pre-pass over every JSON
+      // file, and the unused ts field is never even parsed (column
+      // pruning). dt still arrives via partition discovery, typed by
+      // the declared schema — same recovered values the oracle derives.
+      s.read.schema("event_id BIGINT, event_type STRING, dt STRING").json(out)
         .select(col("event_id").cast("long").as("event_id"),
           col("event_type"), col("dt").cast("string").as("dt"))
         .orderBy(col("event_id"))

@@ -111,21 +111,25 @@ object ConnectedComponents {
         .unionByName(withMin.select($"u", $"m".as("v")))
         .filter($"u" =!= $"v").distinct()
     }
-    def signature(e: DataFrame): (Long, Long) = {
-      // xor-fold of row hashes: a sound SET signature (rows are
-      // distinct) that cannot overflow under ANSI arithmetic
-      val r = e.agg(count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).head()
-      (r.getLong(0), r.getLong(1))
+    // xor-fold of row hashes: a sound SET signature (rows are
+    // distinct) that cannot overflow under ANSI arithmetic. The
+    // signature rides each round's checkpoint materialization as an
+    // observe() metric — one job per round instead of two (the
+    // previous shape ran a separate agg job over the checkpointed
+    // round output just to decide convergence).
+    val sigExprs = Seq(count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h"))
+    def observedCheckpoint(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = new org.apache.spark.sql.Observation()
+      val cp = df.observe(obs, sigExprs.head, sigExprs.tail: _*).localCheckpoint()
+      (cp, (obs.get("n").asInstanceOf[Long], obs.get("h").asInstanceOf[Long]))
     }
 
-    var e = e0.filter($"u" =!= $"v")
-    var sig = signature(e)
+    var (e, sig) = observedCheckpoint(e0.filter($"u" =!= $"v"))
     var iter = 0
-    var converged = e.isEmpty
+    var converged = sig._1 == 0L
     while (iter < maxIter && !converged) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nextSig = signature(next)
+      val (next, nextSig) = observedCheckpoint(smallStar(largeStar(e)))
       converged = nextSig == sig
       sig = nextSig
       e = next
@@ -160,12 +164,19 @@ object ConnectedComponents {
       val nbrMin = und
         .join(comp.withColumnRenamed("node", "b"), "b")
         .groupBy($"a".as("node")).agg(min($"component").as("nbr_min"))
+      // changed-row count rides the checkpoint job (observe over the
+      // old/new label pair) — no separate next⋈comp probe join per
+      // round
+      val obs = new org.apache.spark.sql.Observation()
       val next = comp.join(nbrMin, Seq("node"), "left")
-        .select($"node",
+        .select($"node", $"component".as("_old"),
           least($"component", coalesce($"nbr_min", $"component")).as("component"))
+        .observe(obs, sum(when($"component" =!= $"_old", 1L).otherwise(0L))
+          .as("changed"))
+        .select($"node", $"component")
         .localCheckpoint()
-      val changed = next.as("n").join(comp.as("c"), "node")
-        .filter($"n.component" =!= $"c.component").limit(1).count()
+      val changed = Option(obs.get("changed")).map(_.asInstanceOf[Long])
+        .getOrElse(0L)
       comp.unpersist(blocking = false)
       comp = next
       converged = changed == 0

@@ -71,6 +71,41 @@ object GraphMerge {
     }
   }
 
+  /** [[mergeEdges]] with the delta's pred vocabulary supplied by the
+    * caller — the production fast path. A merge producer almost always
+    * KNOWS the edge kinds it emits (a LINKED_TO batch writer, the
+    * MAPS_TO deriver), so the preds-collect job that exists only to
+    * discover them is pure overhead; with the hint the delta lineage
+    * is traversed exactly ONCE, by the fused anti-join + append job
+    * (no persist, no collect, no count job). SAFE, not trust-based:
+    * an in-plan assertion fails the job on the first delta row whose
+    * pred escapes the hint — a wrong hint can never silently skip the
+    * duplicate check and corrupt the table. File sizing is left to
+    * AQE partition coalescing (small deltas still collapse to few
+    * files; large deltas keep their parallelism). */
+  def mergeEdgesWithPreds(spark: SparkSession, dir: String,
+                          delta: Dataset[Triple], preds: Seq[String]): Long = {
+    val path = s"$dir/edges"
+    val dedup = delta.toDF().select("subj", "pred", "obj").distinct()
+    if (!exists(spark, path)) {
+      val fObs = new org.apache.spark.sql.Observation()
+      dedup.observe(fObs, count(lit(1)).as("n"))
+        .write.mode("append").partitionBy("pred").parquet(path)
+      return fObs.get("n").asInstanceOf[Long]
+    }
+    val guard = assert_true(col("pred").isin(preds: _*),
+      concat(lit("mergeEdgesWithPreds: delta pred '"), col("pred"),
+        lit(s"' not covered by the hint ${preds.mkString("[", ",", "]")} — " +
+          "the anti-join would miss existing rows and duplicate edges")))
+    val guarded = dedup.filter(coalesce(guard, lit(true)))
+    val existing = spark.read.parquet(path).where(col("pred").isin(preds: _*))
+    val fresh = guarded.join(existing, Seq("subj", "pred", "obj"), "left_anti")
+    val fObs = new org.apache.spark.sql.Observation()
+    fresh.observe(fObs, count(lit(1)).as("n"))
+      .write.mode("append").partitionBy("pred").parquet(path)
+    fObs.get("n").asInstanceOf[Long]
+  }
+
   def mergeEdges(spark: SparkSession, dir: String, delta: Dataset[Triple]): Long = {
     val path = s"$dir/edges"
     // persist the deduped delta FIRST: its lineage can be expensive
@@ -123,6 +158,36 @@ object GraphMerge {
     * keyed (label, code): first writer wins, properties of existing
     * vertices are left untouched (Neo4j `MERGE` on the key alone).
     * Returns the number of new vertices appended. */
+  /** [[mergeVertices]] with the delta's label vocabulary supplied by
+    * the caller — same fused single-traversal shape and in-plan
+    * wrong-hint assertion as [[mergeEdgesWithPreds]]. The vertex label
+    * vocabulary is FIXED by schema construction (NCIT/PV/CDE/OC/VDM/
+    * DEC/PR/SemanticType/SYN), so callers can pass it literally. */
+  def mergeVerticesWithLabels(spark: SparkSession, dir: String,
+                              delta: DataFrame, labels: Seq[String]): Long = {
+    val path = s"$dir/vertices"
+    val dedup = delta.dropDuplicates("label", "code")
+    if (!exists(spark, path)) {
+      val fObs = new org.apache.spark.sql.Observation()
+      dedup.observe(fObs, count(lit(1)).as("n"))
+        .write.mode("append").partitionBy("label").parquet(path)
+      return fObs.get("n").asInstanceOf[Long]
+    }
+    val guard = assert_true(col("label").isin(labels: _*),
+      concat(lit("mergeVerticesWithLabels: delta label '"), col("label"),
+        lit(s"' not covered by the hint ${labels.mkString("[", ",", "]")} — " +
+          "the anti-join would miss existing rows and duplicate vertices")))
+    val guarded = dedup.filter(coalesce(guard, lit(true)))
+    val existing = spark.read.parquet(path)
+      .where(col("label").isin(labels: _*))
+      .select("label", "code")
+    val fresh = guarded.join(existing, Seq("label", "code"), "left_anti")
+    val fObs = new org.apache.spark.sql.Observation()
+    fresh.observe(fObs, count(lit(1)).as("n"))
+      .write.mode("append").partitionBy("label").parquet(path)
+    fObs.get("n").asInstanceOf[Long]
+  }
+
   def mergeVertices(spark: SparkSession, dir: String, delta: DataFrame): Long = {
     val path = s"$dir/vertices"
     // same persist-the-delta-first + observe-fused-count shape as

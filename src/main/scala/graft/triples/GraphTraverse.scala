@@ -55,12 +55,16 @@ object GraphTraverse {
       var h = 1
       var exhausted = false
       while (h <= maxHops && !exhausted) {
+        // frontier emptiness rides the checkpoint job as an observe()
+        // metric — the per-round `next.isEmpty` probe job is gone
+        val obs = new org.apache.spark.sql.Observation()
         val next = frontier.join(adj, frontier("node") === adj("src"))
           .select($"dst".as("node")).distinct()
           .join(visited.select("node"), Seq("node"), "left_anti")
           .withColumn("hop", lit(h))
+          .observe(obs, count(lit(1)).as("n"))
           .localCheckpoint() // truncate per-round lineage
-        if (next.isEmpty) exhausted = true
+        if (obs.get("n").asInstanceOf[Long] == 0L) exhausted = true
         else {
           visited = visited.unionByName(next).localCheckpoint()
           frontier = next.select("node")
@@ -106,23 +110,24 @@ object GraphTraverse {
       var dist = seeds.select(seeds.columns.head).toDF("node")
         .distinct().withColumn("cost", lit(0L)).localCheckpoint()
       var delta = dist
-      // ONE emptiness probe per round, on the just-checkpointed delta
-      // (limit(1).count() over checkpointed data — no recompute): the
-      // same boolean serves the loop condition, the dist-update guard
-      // and the convergence check, where delta.isEmpty in each spot
-      // would launch its own job per round.
+      // NO per-round emptiness probe job: the improved-row count rides
+      // each round's checkpoint materialization as an observe() metric,
+      // and the same boolean serves the loop condition, the dist-update
+      // guard and the convergence check.
       var frontier = delta.limit(1).count() > 0
       var i = 0
       while (i < maxIters && frontier) {
         val cand = delta.join(adj, delta("node") === adj("src"))
           .select($"dst".as("node"), ($"cost" + $"w").as("cost"))
           .groupBy($"node").agg(min($"cost").as("cost"))
+        val obs = new org.apache.spark.sql.Observation()
         val improved = cand.join(dist.select($"node", $"cost".as("cur")),
             Seq("node"), "left")
           .filter($"cur".isNull || $"cost" < $"cur")
           .select($"node", $"cost")
+          .observe(obs, count(lit(1)).as("n"))
           .localCheckpoint() // truncate per-round lineage
-        frontier = improved.limit(1).count() > 0
+        frontier = obs.get("n").asInstanceOf[Long] > 0
         if (frontier) {
           dist = dist.join(improved.select($"node"), Seq("node"), "left_anti")
             .unionByName(improved).localCheckpoint()
@@ -164,18 +169,25 @@ object GraphTraverse {
     try {
       var acc = base.localCheckpoint()
       var delta = acc
+      // new-pair count rides each round's checkpoint job (observe) —
+      // no per-round isEmpty probe jobs; nDelta serves the loop
+      // condition, the acc-update guard and the convergence require
+      var nDelta = delta.limit(1).count()
       var i = 0
-      while (i < maxIters && !delta.isEmpty) {
+      while (i < maxIters && nDelta > 0) {
+        val obs = new org.apache.spark.sql.Observation()
         val next = delta.join(base.select($"src".as("dst"), $"dst".as("dst2")), "dst")
           .select($"src", $"dst2".as("dst")).filter($"src" =!= $"dst")
           .distinct()
           .join(acc, Seq("src", "dst"), "left_anti")
+          .observe(obs, count(lit(1)).as("n"))
           .localCheckpoint() // truncate per-round lineage
-        if (!next.isEmpty) acc = acc.unionByName(next).localCheckpoint()
+        nDelta = obs.get("n").asInstanceOf[Long]
+        if (nDelta > 0) acc = acc.unionByName(next).localCheckpoint()
         delta = next
         i += 1
       }
-      require(delta.isEmpty,
+      require(nDelta == 0,
         s"closure did not converge in $maxIters rounds — graph deeper than expected")
       acc
     } finally { base.unpersist(): Unit }

@@ -123,6 +123,42 @@ class GraphMergeSpec extends SparkTestBase {
     assert(edges(dir).count() == 6)
   }
 
+  test("hinted merges: same fresh counts as discovery path, wrong hint fails fast") {
+    val dir = freshDir()
+    val d1 = Seq(Triple("a", "LINKED_TO", "x"), Triple("a", "LINKED_TO", "x"),
+      Triple("b", "MAPS_TO", "y")).toDS()
+    // first merge (table absent): single fused write, count via observe
+    assert(GraphMerge.mergeEdgesWithPreds(spark, dir, d1,
+      Seq("LINKED_TO", "MAPS_TO")) == 2L)
+    // replay is a no-op; overlapping delta appends only the new row —
+    // identical contract to the discovery-path mergeEdges
+    assert(GraphMerge.mergeEdgesWithPreds(spark, dir, d1,
+      Seq("LINKED_TO", "MAPS_TO")) == 0L)
+    val d2 = Seq(Triple("b", "MAPS_TO", "y"), Triple("c", "MAPS_TO", "z")).toDS()
+    assert(GraphMerge.mergeEdgesWithPreds(spark, dir, d2, Seq("MAPS_TO")) == 1L)
+    assert(edges(dir).count() == 3L)
+    // a hint that does NOT cover the delta's preds must raise (the
+    // in-plan guard), never silently skip the duplicate check
+    val e = intercept[Exception] {
+      GraphMerge.mergeEdgesWithPreds(spark, dir,
+        Seq(Triple("d", "LINKED_TO", "w")).toDS(), Seq("MAPS_TO"))
+    }
+    def rootMessages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + rootMessages(t.getCause)
+    assert(rootMessages(e).contains("not covered by the hint"), rootMessages(e))
+    assert(edges(dir).count() == 3L, "failed merge must not have appended")
+    // vertices: same shape
+    val v1 = Seq(("C1", "NCIT", "t1", null: String, "C1"),
+      ("P1", "PV", "p1", null: String, "C1"))
+      .toDF("code", "label", "term", "definition", "canonical")
+    assert(GraphMerge.mergeVerticesWithLabels(spark, dir, v1, Seq("NCIT", "PV")) == 2L)
+    assert(GraphMerge.mergeVerticesWithLabels(spark, dir, v1, Seq("NCIT", "PV")) == 0L)
+    intercept[Exception] {
+      GraphMerge.mergeVerticesWithLabels(spark, dir,
+        v1.withColumn("label", lit("OC")), Seq("NCIT", "PV"))
+    }
+  }
+
   test("merge anti-join prunes the existing side to the delta's pred partitions") {
     val dir = freshDir()
     val dict = Fixtures.dict(spark)
