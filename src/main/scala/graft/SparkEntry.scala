@@ -1541,7 +1541,10 @@ object SparkEntry {
     // integer arithmetic from the observation stream itself (the
     // 2-long collect is a 1-row aggregate, never corpus-sized)
     "kg_graph_asof" -> ((s, dir) => {
-      val obs = mentionObs(s, dir)
+      // checkpoint the observation stream once: the min/max-cutoff
+      // aggregate and the scoped query would otherwise each re-run
+      // the Aho-Corasick extraction lineage (2 traversals -> 1)
+      val obs = mentionObs(s, dir).localCheckpoint()
       val r = obs.agg(min(col("ts_epoch")).cast("long"),
         max(col("ts_epoch")).cast("long")).first()
       val (lo, hi) = (r.getLong(0), r.getLong(1))
