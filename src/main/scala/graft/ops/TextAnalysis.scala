@@ -133,17 +133,23 @@ object TextAnalysis {
     * fewer than n tokens have no n-grams and are absent.
     *
     * Two keyed shuffles: the n-gram frequency groupBy (map-side
-    * partial agg) and the join back. At 100 TB, hash the shingle to
-    * 64 bits before the shuffle (narrow keys; collisions negligible
-    * at these thresholds) or use [[dupNgramFractionCms]] — the
-    * Count-Min probe that drops the df shuffle entirely — with this
-    * exact form as the oracle-checkable ground truth.
+    * partial agg) and the join back — both keyed on xxhash64(shingle)
+    * rather than the shingle STRING (guide §2.3 "narrower types":
+    * 8-byte fixed keys instead of ~30-byte strings on both shuffle
+    * sides; a collision would need ~2^32 distinct shingles to reach
+    * even 50% birthday odds, and the df threshold makes a single
+    * collision's effect a one-count overstatement — negligible at
+    * these thresholds, and value-verified against the exact-string
+    * DuckDB oracle on the driver's data). For the form that drops the
+    * df shuffle entirely see [[dupNgramFractionCms]] — the Count-Min
+    * probe with this exact form as the oracle-checkable ground truth.
     */
   def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Long = 1): DataFrame = {
     def r4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
     val occ = docs.select(col(idCol),
-      explode(Functions.word_shingles(col(textCol), n)).as("shingle"))
+        explode(Functions.word_shingles(col(textCol), n)).as("_sh"))
+      .select(col(idCol), xxhash64(col("_sh")).as("shingle"))
     val freq = occ.groupBy(col("shingle")).agg(count(lit(1)).as("corpus_n"))
     occ.join(freq, "shingle")
       .groupBy(col(idCol))
