@@ -55,12 +55,19 @@ object Decontaminate {
     */
   def report(docs: DataFrame, idCol: String, textCol: String,
              bench: DataFrame, n: Int = 3, minShared: Int = 1): DataFrame = {
+    // shingles travel as xxhash64 (guide §2.3 narrow keys): the
+    // broadcast bench set and the probe join carry 8-byte fixed keys
+    // instead of ~30-byte strings — per-doc shared counts unchanged
+    // absent a 64-bit collision (needs ~2^32 distinct shingles for
+    // birthday-50%; value-verified against the exact-string oracle)
     val corpusShingles = docs
       .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),
-        explode(col("sh")).as("shingle"))
+        explode(col("sh")).as("_sh"))
+      .select(col("doc_id"), col("n_shingles"), xxhash64(col("_sh")).as("shingle"))
     val benchShingles = bench
-      .select(explode(shingles(col(textCol), n)).as("shingle")).distinct()
+      .select(explode(shingles(col(textCol), n)).as("_sh"))
+      .select(xxhash64(col("_sh")).as("shingle")).distinct()
     // corpus shingles are per-doc distinct and the bench set is
     // distinct, so post-join rows are unique (doc_id, shingle) pairs:
     // a plain count (map-side partial agg) equals countDistinct

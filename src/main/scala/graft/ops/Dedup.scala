@@ -79,11 +79,19 @@ object Dedup {
 
   /** (id, ntok, token): distinct normalized tokens exploded per doc —
     * the single definition of "token set" every exact-Jaccard verify
-    * (and its DuckDB twin) agrees on. */
+    * (and its DuckDB twin) agrees on. The token travels as its
+    * xxhash64 (guide §2.3 narrow keys: 8-byte fixed join/groupBy keys
+    * instead of strings on every shuffle side of the inverted index
+    * and the verify join; set cardinalities — ntok, intersections, df
+    * — are unchanged absent a 64-bit collision, which needs ~2^32
+    * distinct tokens for even birthday-50%; value-verified against
+    * the exact-string DuckDB oracles). */
   private def explodedTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
       array_distinct(split(Functions.norm_text(col(textCol)), " ")).as("toks"))
-      .select(col("id"), size(col("toks")).as("ntok"), explode(col("toks")).as("token"))
+      .select(col("id"), size(col("toks")).as("ntok"),
+        explode(col("toks")).as("_tok"))
+      .select(col("id"), col("ntok"), xxhash64(col("_tok")).as("token"))
 
   /** Exact token-set Jaccard on candidate pairs only: join the token
     * table on both sides, count shared tokens (row-based codegen hash
