@@ -124,15 +124,25 @@ object Decontaminate {
       .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),
         explode(col("sh")).as("shingle"))
-    // bloom hit = ALL k probe positions present in the filter
+    // bloom hit = ALL k probe positions present in the filter. The
+    // probe POSITIONS are pinned over hash64_str of the original
+    // shingle string (oracle-replayed cells), but once computed, the
+    // per-shingle grouping and the exact-side join only need shingle
+    // IDENTITY — carried as xxhash64 (guide §2.3 narrow keys; counts
+    // unchanged absent a 64-bit collision, value-verified vs the
+    // exact-string oracle).
     val bloomHits = corpus
-      .select(col("doc_id"), col("n_shingles"), col("shingle"),
+      .select(col("doc_id"), col("n_shingles"),
+        xxhash64(col("shingle")).as("shingle_h"),
         explode(positions(col("shingle"))).as("bit"))
       .join(broadcast(filterBits), "bit")
-      .groupBy(col("doc_id"), col("n_shingles"), col("shingle"))
+      .groupBy(col("doc_id"), col("n_shingles"), col("shingle_h"))
       .agg(count(lit(1)).as("n_set"))
       .filter(col("n_set") === k)
-    val exact = corpus.join(broadcast(benchSh), "shingle")
+    val exact = corpus
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle_h"))
+      .join(broadcast(benchSh.select(xxhash64(col("shingle")).as("shingle_h"))),
+        "shingle_h")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact_hits"))
     bloomHits
       .groupBy(col("doc_id"), col("n_shingles"))
