@@ -27,10 +27,19 @@ object SparkEntry {
   /** JVM-exit cleanup for per-invocation temp dirs whose files are
     * still lazily referenced by the returned DataFrame (the JSON sink
     * round-trips): repeated bench/verify/scale-step runs in one
-    * session must not accumulate a directory per call forever. */
+    * session must not accumulate a directory per call forever. ONE
+    * shared shutdown hook drains a queue of paths — not a new hook
+    * thread per invocation. */
+  private val exitCleanupQueue =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val exitCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = exitCleanupQueue.poll()
+      while (p != null) { rmTree(new java.io.File(p)); p = exitCleanupQueue.poll() }
+    }))
   private def rmTreeOnExit(path: String): String = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      rmTree(new java.io.File(path))))
+    exitCleanupHook
+    exitCleanupQueue.add(path)
     path
   }
 

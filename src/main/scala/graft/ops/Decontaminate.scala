@@ -141,8 +141,11 @@ object Decontaminate {
       .filter(col("n_set") === k)
     val exact = corpus
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle_h"))
-      .join(broadcast(benchSh.select(xxhash64(col("shingle")).as("shingle_h"))),
-        "shingle_h")
+      // distinct AFTER hashing (mirrors report()): two bench shingles
+      // colliding on xxhash64 must not double-join a corpus shingle —
+      // that could inflate n_exact_hits past n_bloom_hits
+      .join(broadcast(benchSh.select(xxhash64(col("shingle")).as("shingle_h"))
+        .distinct()), "shingle_h")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact_hits"))
     bloomHits
       .groupBy(col("doc_id"), col("n_shingles"))

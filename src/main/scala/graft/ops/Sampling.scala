@@ -110,7 +110,12 @@ object Sampling {
     * same stratum partitioning — no extra shuffle, no extra job), so
     * the operator stays a LAZY transform: the prefilter + rank plan
     * executes exactly once, when the caller consumes the result —
-    * not eagerly at call time and then again downstream.
+    * not eagerly at call time and then again downstream. Laziness
+    * caveat: the guard fires when the result is MATERIALIZED (any
+    * full scan — count/collect/write); a partial consumption
+    * (`take(n)`, a pushed-down stratum filter) checks only the
+    * strata it actually scans, which are exactly the strata whose
+    * sample it returns.
     *
     * @return original columns plus (bucket, rk) for auditability,
     *         rk = 1-based rank within the stratum.

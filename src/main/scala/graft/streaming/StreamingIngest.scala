@@ -137,13 +137,8 @@ object StreamingIngest {
     // dir behind for the life of the JVM.
     val out = spark.table(name)
     spark.catalog.dropTempView(name)
-    deleteRecursively(new java.io.File(ck))
+    graft.SparkEntry.rmTree(new java.io.File(ck))
     out
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRecursively)
-    f.delete(): Unit
   }
 
   /** Gap-based session windows on the event-time turn stream — the

@@ -86,24 +86,58 @@ object GraphMerge {
   def mergeEdgesWithPreds(spark: SparkSession, dir: String,
                           delta: Dataset[Triple], preds: Seq[String]): Long = {
     val path = s"$dir/edges"
-    val dedup = delta.toDF().select("subj", "pred", "obj").distinct()
-    if (!exists(spark, path)) {
-      val fObs = new org.apache.spark.sql.Observation()
-      dedup.observe(fObs, count(lit(1)).as("n"))
-        .write.mode("append").partitionBy("pred").parquet(path)
-      return fObs.get("n").asInstanceOf[Long]
-    }
     val guard = assert_true(col("pred").isin(preds: _*),
       concat(lit("mergeEdgesWithPreds: delta pred '"), col("pred"),
         lit(s"' not covered by the hint ${preds.mkString("[", ",", "]")} — " +
           "the anti-join would miss existing rows and duplicate edges")))
-    val guarded = dedup.filter(coalesce(guard, lit(true)))
-    val existing = spark.read.parquet(path).where(col("pred").isin(preds: _*))
-    val fresh = guarded.join(existing, Seq("subj", "pred", "obj"), "left_anti")
+    // the wrong-hint guard applies on BOTH branches: a first merge
+    // with a bad vocabulary must fail before it writes mislabeled
+    // partitions, not on the second batch
+    val dedup = delta.toDF().select("subj", "pred", "obj").distinct()
+      .filter(coalesce(guard, lit(true)))
+    val hadTable = exists(spark, path)
+    val fresh =
+      if (!hadTable) dedup
+      else {
+        val existing = spark.read.parquet(path).where(col("pred").isin(preds: _*))
+        dedup.join(existing, Seq("subj", "pred", "obj"), "left_anti")
+      }
+    val n = writePartitioned(spark, fresh, "pred", path, hadTable)
+    n
+  }
+
+  /** Fused append: count rides the write as an observe() metric —
+    * one traversal of the delta lineage, no separate count job. File
+    * sizing comes from AQE partition coalescing at the plan's own
+    * shuffle boundaries (the delta `distinct` and, for a large
+    * existing side, the sort-merge anti-join): a small fresh set
+    * lands in one or two files per partition, a large one keeps its
+    * parallelism. Residual bounded case: a BROADCAST anti-join after
+    * a very large delta distinct can spread a tiny fresh set over the
+    * delta's post-AQE partition count (tens of files, not
+    * shuffle-partition-many) — absorbed by the documented
+    * [[compactEdges]] maintenance path rather than an extra
+    * per-merge rebalance shuffle.
+    * A zero-row append onto a PREVIOUSLY ABSENT table leaves an empty
+    * parquet dir (just _SUCCESS) that would poison every later read —
+    * it is rolled back so table state equals "never written". */
+  private def writePartitioned(spark: SparkSession, df: DataFrame,
+                               partCol: String, path: String,
+                               hadTable: Boolean): Long = {
     val fObs = new org.apache.spark.sql.Observation()
-    fresh.observe(fObs, count(lit(1)).as("n"))
-      .write.mode("append").partitionBy("pred").parquet(path)
-    fObs.get("n").asInstanceOf[Long]
+    df.observe(fObs, count(lit(1)).as("n"))
+      .write.mode("append").partitionBy(partCol).parquet(path)
+    // defensive read: AQE empty-relation propagation can eliminate
+    // the CollectMetrics node when the input is provably empty, in
+    // which case the observation completes with an empty metrics map
+    // — which means exactly "0 rows appended"
+    val n = Option(fObs.getAsJava.get("n"))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (n == 0 && !hadTable) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+    n
   }
 
   def mergeEdges(spark: SparkSession, dir: String, delta: Dataset[Triple]): Long = {
@@ -111,45 +145,25 @@ object GraphMerge {
     // persist the deduped delta FIRST: its lineage can be expensive
     // (similarEdges' cosine kNN, the CC canonical map) and is
     // otherwise re-traversed by both the preds-collect and the
-    // anti-join+append. The delta row count rides the first
-    // materializing job as an observe() metric instead of a count job.
-    val dObs = new org.apache.spark.sql.Observation()
-    val dedup = delta.toDF().select("subj", "pred", "obj").distinct()
-      .observe(dObs, count(lit(1)).as("n")).persist()
+    // anti-join+append. The appended-row count rides the write job as
+    // an observe() metric (no separate count job), and the REBALANCE
+    // hint sizes output files adaptively — a small FRESH set collapses
+    // to one file per pred partition even when the delta itself was
+    // large (the replay case), a large one splits to advisory-sized
+    // files; no small-files debt for later anti-join scans either way.
+    val dedup = delta.toDF().select("subj", "pred", "obj").distinct().persist()
     try {
-      if (!exists(spark, path)) {
-        // first merge: fresh = the whole deduped delta. The count job
-        // materializes the cache (and completes dObs); the write then
-        // reads the cache.
-        val n = dedup.count()
-        if (n > 0) {
-          val w = if (n < 100000L) dedup.coalesce(1) else dedup
-          w.write.mode("append").partitionBy("pred").parquet(path)
+      val hadTable = exists(spark, path)
+      val fresh =
+        if (!hadTable) dedup
+        else {
+          // pruning literal: the delta's pred vocabulary (collect is
+          // bounded by the fixed predicate set, never corpus-sized)
+          val preds = dedup.select("pred").distinct().collect().map(_.getString(0))
+          val existing = spark.read.parquet(path).where(col("pred").isin(preds.toSeq: _*))
+          dedup.join(existing, Seq("subj", "pred", "obj"), "left_anti")
         }
-        n
-      } else {
-        // pruning literal: the delta's pred vocabulary (collect is
-        // bounded by the fixed predicate set, never corpus-sized);
-        // this job also materializes the dedup cache, firing dObs
-        val preds = dedup.select("pred").distinct().collect().map(_.getString(0))
-        val nDelta = dObs.get("n").asInstanceOf[Long]
-        val existing = spark.read.parquet(path).where(col("pred").isin(preds.toSeq: _*))
-        val fresh = dedup.join(existing, Seq("subj", "pred", "obj"), "left_anti")
-        // count + append fused into ONE pass: the appended-row count
-        // rides the write job as an observe() metric, so the anti-join
-        // is traversed exactly once (previously: persist + a count job
-        // + a cache-fed write job). Small deltas (early batches,
-        // fixture tables) collapse to one task per pred partition —
-        // fewer commit round-trips now, no small-files debt for every
-        // later merge's anti-join scan; large deltas keep their
-        // parallelism (the coalesce decision keys on the DELTA size,
-        // an upper bound on fresh, known before the write).
-        val fObs = new org.apache.spark.sql.Observation()
-        val observed = fresh.observe(fObs, count(lit(1)).as("n"))
-        val w = if (nDelta < 100000L) observed.coalesce(1) else observed
-        w.write.mode("append").partitionBy("pred").parquet(path)
-        fObs.get("n").asInstanceOf[Long]
-      }
+      writePartitioned(spark, fresh, "pred", path, hadTable)
     } finally { dedup.unpersist(): Unit }
   }
 
@@ -166,56 +180,41 @@ object GraphMerge {
   def mergeVerticesWithLabels(spark: SparkSession, dir: String,
                               delta: DataFrame, labels: Seq[String]): Long = {
     val path = s"$dir/vertices"
-    val dedup = delta.dropDuplicates("label", "code")
-    if (!exists(spark, path)) {
-      val fObs = new org.apache.spark.sql.Observation()
-      dedup.observe(fObs, count(lit(1)).as("n"))
-        .write.mode("append").partitionBy("label").parquet(path)
-      return fObs.get("n").asInstanceOf[Long]
-    }
     val guard = assert_true(col("label").isin(labels: _*),
       concat(lit("mergeVerticesWithLabels: delta label '"), col("label"),
         lit(s"' not covered by the hint ${labels.mkString("[", ",", "]")} — " +
           "the anti-join would miss existing rows and duplicate vertices")))
-    val guarded = dedup.filter(coalesce(guard, lit(true)))
-    val existing = spark.read.parquet(path)
-      .where(col("label").isin(labels: _*))
-      .select("label", "code")
-    val fresh = guarded.join(existing, Seq("label", "code"), "left_anti")
-    val fObs = new org.apache.spark.sql.Observation()
-    fresh.observe(fObs, count(lit(1)).as("n"))
-      .write.mode("append").partitionBy("label").parquet(path)
-    fObs.get("n").asInstanceOf[Long]
+    val dedup = delta.dropDuplicates("label", "code")
+      .filter(coalesce(guard, lit(true)))
+    val hadTable = exists(spark, path)
+    val fresh =
+      if (!hadTable) dedup
+      else {
+        val existing = spark.read.parquet(path)
+          .where(col("label").isin(labels: _*))
+          .select("label", "code")
+        dedup.join(existing, Seq("label", "code"), "left_anti")
+      }
+    writePartitioned(spark, fresh, "label", path, hadTable)
   }
 
   def mergeVertices(spark: SparkSession, dir: String, delta: DataFrame): Long = {
     val path = s"$dir/vertices"
-    // same persist-the-delta-first + observe-fused-count shape as
-    // mergeEdges
-    val dObs = new org.apache.spark.sql.Observation()
-    val dedup = delta.dropDuplicates("label", "code")
-      .observe(dObs, count(lit(1)).as("n")).persist()
+    // same persist-the-delta-first + observe-fused-count +
+    // REBALANCE-sized-files shape as mergeEdges
+    val dedup = delta.dropDuplicates("label", "code").persist()
     try {
-      if (!exists(spark, path)) {
-        val n = dedup.count()
-        if (n > 0) {
-          val w = if (n < 100000L) dedup.coalesce(1) else dedup
-          w.write.mode("append").partitionBy("label").parquet(path)
+      val hadTable = exists(spark, path)
+      val fresh =
+        if (!hadTable) dedup
+        else {
+          val labels = dedup.select("label").distinct().collect().map(_.getString(0))
+          val existing = spark.read.parquet(path)
+            .where(col("label").isin(labels.toSeq: _*))
+            .select("label", "code")
+          dedup.join(existing, Seq("label", "code"), "left_anti")
         }
-        n
-      } else {
-        val labels = dedup.select("label").distinct().collect().map(_.getString(0))
-        val nDelta = dObs.get("n").asInstanceOf[Long]
-        val existing = spark.read.parquet(path)
-          .where(col("label").isin(labels.toSeq: _*))
-          .select("label", "code")
-        val fresh = dedup.join(existing, Seq("label", "code"), "left_anti")
-        val fObs = new org.apache.spark.sql.Observation()
-        val observed = fresh.observe(fObs, count(lit(1)).as("n"))
-        val w = if (nDelta < 100000L) observed.coalesce(1) else observed
-        w.write.mode("append").partitionBy("label").parquet(path)
-        fObs.get("n").asInstanceOf[Long]
-      }
+      writePartitioned(spark, fresh, "label", path, hadTable)
     } finally { dedup.unpersist(): Unit }
   }
 

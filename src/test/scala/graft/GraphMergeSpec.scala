@@ -159,6 +159,23 @@ class GraphMergeSpec extends SparkTestBase {
     }
   }
 
+  test("empty first delta leaves NO table behind (no data-file-less parquet dir)") {
+    // a zero-row append onto an absent table would otherwise create a
+    // dir with only _SUCCESS, and every later merge's read would die
+    // on schema inference — the rollback must restore "never written"
+    val dir = freshDir()
+    val empty = spark.emptyDataset[Triple]
+    assert(GraphMerge.mergeEdges(spark, dir, empty) == 0L)
+    assert(GraphMerge.mergeEdgesWithPreds(spark, dir, empty, Seq("LINKED_TO")) == 0L)
+    // table still absent: the next REAL merge initializes it cleanly
+    assert(GraphMerge.mergeEdges(spark, dir,
+      Seq(Triple("a", "LINKED_TO", "x")).toDS()) == 1L)
+    assert(edges(dir).count() == 1L)
+    // and an empty delta onto an EXISTING table is a plain no-op
+    assert(GraphMerge.mergeEdgesWithPreds(spark, dir, empty, Seq("LINKED_TO")) == 0L)
+    assert(edges(dir).count() == 1L)
+  }
+
   test("merge anti-join prunes the existing side to the delta's pred partitions") {
     val dir = freshDir()
     val dict = Fixtures.dict(spark)
